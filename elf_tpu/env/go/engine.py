@@ -1,0 +1,457 @@
+"""Vectorized, jit-compiled Go engine: the TPU-native replacement for the
+reference C board engine (`/root/reference/src_cpp/elfgames/go/base/board.cc`,
+`go_state.cc`).
+
+Design
+------
+The reference engine is a scalar, pointer-chasing implementation: per-board
+group lists with incremental liberty bookkeeping, one board per game thread.
+On TPU the batch *is* the array: every function here operates on ``[B, ...]``
+state in lockstep under ``jit``, with no data-dependent Python control flow.
+
+The key algorithmic re-derivation is liberty analysis without per-chain
+scatter/gather.  A chain's liberty *count class* (0, 1, or >=2 distinct
+liberties — all the rules need) is computed by propagating, over same-color
+4-connectivity to a fixpoint:
+
+    lib_min[p] = min over the chain of (flat indices of adjacent empty points)
+    lib_max[p] = max over the chain of (flat indices of adjacent empty points)
+
+Then per stone:  zero libs <=> lib_min == INF;  exactly one (atari) <=>
+lib_min == lib_max != INF;  two or more <=> lib_min < lib_max.  Propagation
+is pure vector min/max over 4-neighbor shifts, converging in O(chain
+diameter) rounds under ``lax.while_loop`` — no scatter, no segment ops, no
+dynamic shapes.  A second-minimum field distinguishes ==2 from >=3 when
+feature extraction needs it (`analyze_libs3`).
+
+Rule semantics match the reference exactly:
+ - simple ko (board.cc:1384-1392): ko point set when the played chain has
+   size 1 + one liberty and exactly one stone was captured; the restriction
+   lasts one ply (`_ko_age`).
+ - suicide is illegal (board.cc:201 `isSuicideMove`).
+ - termination: two consecutive passes OR ply >= 2*N^2 OR positional superko
+   (go_state.h:145); superko compares 64-bit position hashes against the
+   history of pre-move positions (go_state.cc:96).
+ - scoring: Tromp-Taylor reachability (go_state.h:33 `simple_flood_fill`,
+   `simple_tt_scoring`), no dead-stone removal; evaluate = score - komi, and
+   a superko-terminated game counts as a win for the player to move
+   (go_state.h:194).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from elf_tpu.env.go.zobrist import zobrist_tables
+
+EMPTY, BLACK, WHITE = 0, 1, 2
+PASS_OFFSET = 0  # action == size*size is pass
+
+# Liberty-index sentinel (> any flat index).
+_INF = np.int32(2**20)
+
+
+class GoCore(NamedTuple):
+    """Minimal per-board state: everything a tree-search node needs.
+
+    All arrays carry a leading batch dim ``[B]``.
+    """
+
+    stones: jax.Array      # i8  [B, N2]   0 empty / 1 black / 2 white
+    to_play: jax.Array     # i8  [B]       1 or 2
+    ko_point: jax.Array    # i32 [B]       flat idx of ko point, or -1
+    ko_color: jax.Array    # i8  [B]       player forbidden to take the ko
+    ko_age: jax.Array      # i32 [B]       0 == ko restriction active
+    ply: jax.Array         # i32 [B]       moves played so far
+    passes: jax.Array      # i32 [B]       consecutive passes
+    last_move: jax.Array   # i32 [B]       last action, -1 initially
+    hash_lo: jax.Array     # u32 [B]       positional Zobrist hash (low)
+    hash_hi: jax.Array     # u32 [B]       positional Zobrist hash (high)
+
+
+class StepInfo(NamedTuple):
+    illegal: jax.Array     # bool [B]  move was illegal (state unchanged)
+    captured: jax.Array    # i32  [B]  stones captured by this move
+    ko_created: jax.Array  # bool [B]
+
+
+def init_core(batch: int, size: int) -> GoCore:
+    n2 = size * size
+    return GoCore(
+        stones=jnp.zeros((batch, n2), jnp.int8),
+        to_play=jnp.full((batch,), BLACK, jnp.int8),
+        ko_point=jnp.full((batch,), -1, jnp.int32),
+        ko_color=jnp.zeros((batch,), jnp.int8),
+        ko_age=jnp.full((batch,), 10_000, jnp.int32),
+        ply=jnp.zeros((batch,), jnp.int32),
+        passes=jnp.zeros((batch,), jnp.int32),
+        last_move=jnp.full((batch,), -1, jnp.int32),
+        hash_lo=jnp.zeros((batch,), jnp.uint32),
+        hash_hi=jnp.zeros((batch,), jnp.uint32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# neighbor shifts
+# ---------------------------------------------------------------------------
+
+_DIRS = ((-1, 0), (1, 0), (0, -1), (0, 1))
+
+
+def _shift(x: jax.Array, dr: int, dc: int, fill) -> jax.Array:
+    """out[..., r, c] = x[..., r - dr, c - dc], `fill` outside the board."""
+    n = x.shape[-1]
+    pad = [(0, 0)] * (x.ndim - 2) + [(1, 1), (1, 1)]
+    xp = jnp.pad(x, pad, constant_values=fill)
+    return lax.slice_in_dim(
+        lax.slice_in_dim(xp, 1 - dr, 1 - dr + n, axis=-2), 1 - dc, 1 - dc + n, axis=-1
+    )
+
+
+def _nbr_count(mask2d: jax.Array) -> jax.Array:
+    """Number of 4-neighbors (on board) where mask2d is True."""
+    m = mask2d.astype(jnp.int32)
+    return sum(_shift(m, dr, dc, 0) for dr, dc in _DIRS)
+
+
+# ---------------------------------------------------------------------------
+# liberty analysis (fixpoint propagation)
+# ---------------------------------------------------------------------------
+
+
+def _flat_idx(size: int) -> jax.Array:
+    return jnp.arange(size * size, dtype=jnp.int32).reshape(size, size)
+
+
+def _init_lib_fields(stones2d: jax.Array, size: int):
+    """Per-stone min/max flat index of *adjacent* empty points."""
+    idx = _flat_idx(size)
+    empty = stones2d == EMPTY
+    lm = jnp.full(stones2d.shape, _INF, jnp.int32)
+    lx = jnp.full(stones2d.shape, -1, jnp.int32)
+    for dr, dc in _DIRS:
+        nbr_empty = _shift(empty, dr, dc, False)
+        nbr_idx = _shift(jnp.broadcast_to(idx, stones2d.shape), dr, dc, 0)
+        lm = jnp.where(nbr_empty, jnp.minimum(lm, nbr_idx), lm)
+        lx = jnp.where(nbr_empty, jnp.maximum(lx, nbr_idx), lx)
+    stone = stones2d != EMPTY
+    lm = jnp.where(stone, lm, _INF)
+    lx = jnp.where(stone, lx, -1)
+    return lm, lx
+
+
+def _propagate(stones2d: jax.Array, fields, merge):
+    """Fixpoint propagation of `fields` over same-color 4-connectivity.
+
+    merge(field_tuple, nbr_field_tuple, same_mask) -> field_tuple applies one
+    neighbor-merge; runs to convergence with lax.while_loop.
+    """
+    color = stones2d
+
+    same_masks = []
+    for dr, dc in _DIRS:
+        ncolor = _shift(color, dr, dc, np.int8(0))
+        same_masks.append((color != EMPTY) & (ncolor == color))
+
+    def one_round(fs):
+        for (dr, dc), same in zip(_DIRS, same_masks):
+            nfs = tuple(_shift(f, dr, dc, fill) for f, fill in zip(fs, _FILLS[: len(fs)]))
+            fs = merge(fs, nfs, same)
+        return fs
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        fs, _ = carry
+        nfs = one_round(fs)
+        changed = jnp.any(
+            jnp.stack([jnp.any(a != b) for a, b in zip(fs, nfs)])
+        )
+        return nfs, changed
+
+    fields, _ = lax.while_loop(cond, body, (fields, jnp.bool_(True)))
+    return fields
+
+
+_FILLS = (_INF, np.int32(-1), _INF)  # fills for (lib_min, lib_max, lib_min2)
+
+
+def analyze_libs(stones2d: jax.Array, size: int):
+    """Exact per-stone liberty classes for every chain on the board.
+
+    Returns (lib_min, lib_max) i32 [B, N, N]; derive:
+      zero-lib chain : stone & lib_min == INF
+      atari (1 lib)  : lib_min == lib_max != INF
+      >=2 libs       : lib_min < lib_max
+    """
+    lm, lx = _init_lib_fields(stones2d, size)
+
+    def merge(fs, nfs, same):
+        (lm, lx), (nlm, nlx) = fs, nfs
+        lm = jnp.where(same, jnp.minimum(lm, nlm), lm)
+        lx = jnp.where(same, jnp.maximum(lx, nlx), lx)
+        return (lm, lx)
+
+    return _propagate(stones2d, (lm, lx), merge)
+
+
+def analyze_libs3(stones2d: jax.Array, size: int):
+    """Like analyze_libs but also returns the second-smallest distinct liberty
+    index, distinguishing chains with exactly 2 libs from >=3 (df feature
+    planes, board_feature.cc `getLibertyMap3binary`).
+
+    Returns (lib_min, lib_max, lib_min2).
+    """
+    lm, lx = _init_lib_fields(stones2d, size)
+    # second-min of adjacent-empty indices per stone
+    idx = _flat_idx(size)
+    empty = stones2d == EMPTY
+    m2 = jnp.full(stones2d.shape, _INF, jnp.int32)
+    for dr, dc in _DIRS:
+        nbr_empty = _shift(empty, dr, dc, False)
+        nbr_idx = jnp.where(
+            nbr_empty, _shift(jnp.broadcast_to(idx, stones2d.shape), dr, dc, 0), _INF
+        )
+        # insert nbr_idx into (lm', m2) running top-2-distinct
+        # (lm is already the true min; recompute incrementally here)
+        m2 = jnp.where((nbr_idx > lm) & (nbr_idx < m2), nbr_idx, m2)
+    stone = stones2d != EMPTY
+    m2 = jnp.where(stone, m2, _INF)
+
+    def merge(fs, nfs, same):
+        (lm, lx, m2), (nlm, nlx, nm2) = fs, nfs
+        # merge two (min, min2) pairs into top-2 distinct of the union
+        new_min = jnp.minimum(lm, nlm)
+        big = jnp.maximum(lm, nlm)
+        cand2 = jnp.where(big == new_min, _INF, big)  # distinct second candidate
+        new_m2 = jnp.minimum(jnp.minimum(m2, nm2), cand2)
+        new_m2 = jnp.where(new_m2 == new_min, _INF, new_m2)
+        new_lx = jnp.maximum(lx, nlx)
+        out = (
+            jnp.where(same, new_min, lm),
+            jnp.where(same, new_lx, lx),
+            jnp.where(same, new_m2, m2),
+        )
+        return out
+
+    return _propagate(stones2d, (lm, lx, m2), merge)
+
+
+# ---------------------------------------------------------------------------
+# step
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepInfo]:
+    """Apply one action per board (flat idx or N2 == pass), lockstep.
+
+    Illegal moves (occupied / ko violation / suicide) leave the board
+    unchanged and set info.illegal, mirroring `TryPlay2` returning false
+    (board.cc:814).  Callers sampling from `legal_moves` never hit this.
+    """
+    n2 = size * size
+    B = core.stones.shape[0]
+    zlo, zhi = (jnp.asarray(t) for t in zobrist_tables(size))
+
+    is_pass = action >= n2
+    p = jnp.clip(action, 0, n2 - 1)
+    color = core.to_play.astype(jnp.int32)          # [B]
+    opp = (3 - color).astype(jnp.int8)
+
+    stones = core.stones
+    occupied = jnp.take_along_axis(stones, p[:, None], axis=1)[:, 0] != EMPTY
+    ko_violation = (
+        (p == core.ko_point)
+        & (core.ko_age == 0)
+        & (core.to_play == core.ko_color)
+        & ~is_pass
+    )
+
+    # --- tentative placement -------------------------------------------------
+    onehot_p = jnp.zeros((B, n2), jnp.bool_).at[jnp.arange(B), p].set(True)
+    place = (~is_pass)[:, None] & onehot_p
+    s1 = jnp.where(place, color[:, None].astype(jnp.int8), stones)
+    s1_2d = s1.reshape(B, size, size)
+
+    lm1, _ = analyze_libs(s1_2d, size)
+    nolib1 = (s1_2d != EMPTY) & (lm1 == _INF)
+    captured2d = nolib1 & (s1_2d == opp[:, None, None])
+    ncap = captured2d.reshape(B, n2).sum(axis=1).astype(jnp.int32)
+    s2_2d = jnp.where(captured2d, EMPTY, s1_2d)
+
+    # --- final liberty analysis (legality + ko) ------------------------------
+    lm2, lx2 = analyze_libs(s2_2d, size)
+    s2 = s2_2d.reshape(B, n2)
+    lm2f = lm2.reshape(B, n2)
+    lx2f = lx2.reshape(B, n2)
+
+    at_p = lambda a: jnp.take_along_axis(a, p[:, None], axis=1)[:, 0]
+    suicide = (~is_pass) & (at_p(lm2f) == _INF)
+    illegal = (~is_pass) & (occupied | ko_violation | suicide)
+
+    # --- simple ko detection (board.cc:1384) ---------------------------------
+    own_atari = (at_p(lm2f) == at_p(lx2f)) & (at_p(lm2f) != _INF)
+    same_nbr = _nbr_count(
+        s2_2d == core.to_play[:, None, None]
+    ).reshape(B, n2)
+    own_single = at_p(same_nbr) == 0
+    ko_created = (~is_pass) & own_atari & own_single & (ncap == 1)
+    cap_flat = captured2d.reshape(B, n2)
+    cap_idx = jnp.argmax(cap_flat, axis=1).astype(jnp.int32)
+
+    # --- zobrist update ------------------------------------------------------
+    def xor_reduce(x):
+        return lax.reduce(x, np.uint32(0), lax.bitwise_xor, (1,))
+
+    place_lo = zlo[p, color]
+    place_hi = zhi[p, color]
+    opp_col = opp.astype(jnp.int32)
+    zlo_opp = zlo[jnp.arange(n2)[None, :], opp_col[:, None]]   # [B, N2]
+    zhi_opp = zhi[jnp.arange(n2)[None, :], opp_col[:, None]]
+    cap_lo = xor_reduce(jnp.where(cap_flat, zlo_opp, np.uint32(0)))
+    cap_hi = xor_reduce(jnp.where(cap_flat, zhi_opp, np.uint32(0)))
+
+    new_hash_lo = core.hash_lo ^ place_lo ^ cap_lo
+    new_hash_hi = core.hash_hi ^ place_hi ^ cap_hi
+
+    # --- commit (guard illegal: state unchanged) -----------------------------
+    ok_move = (~is_pass) & (~illegal)
+
+    new_stones = jnp.where(ok_move[:, None], s2, stones)
+    new_hash_lo = jnp.where(ok_move, new_hash_lo, core.hash_lo)
+    new_hash_hi = jnp.where(ok_move, new_hash_hi, core.hash_hi)
+
+    advanced = is_pass | ok_move
+    new_core = GoCore(
+        stones=new_stones,
+        to_play=jnp.where(advanced, opp, core.to_play),
+        ko_point=jnp.where(ok_move & ko_created, cap_idx, core.ko_point),
+        ko_color=jnp.where(ok_move & ko_created, opp, core.ko_color),
+        ko_age=jnp.where(
+            ok_move & ko_created,
+            0,
+            jnp.where(advanced, core.ko_age + 1, core.ko_age),
+        ),
+        ply=jnp.where(advanced, core.ply + 1, core.ply),
+        passes=jnp.where(
+            is_pass, core.passes + 1, jnp.where(ok_move, 0, core.passes)
+        ),
+        last_move=jnp.where(advanced, action.astype(jnp.int32), core.last_move),
+        hash_lo=new_hash_lo,
+        hash_hi=new_hash_hi,
+    )
+    info = StepInfo(
+        illegal=illegal,
+        captured=jnp.where(ok_move, ncap, 0),
+        ko_created=ok_move & ko_created,
+    )
+    return new_core, info
+
+
+# ---------------------------------------------------------------------------
+# legality
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def legal_moves(core: GoCore, size: int) -> jax.Array:
+    """bool [B, N2 + 1] legal-action mask for `to_play` (pass always legal).
+
+    Matches `FindAllValidMoves` (board.cc:867): empty, not a ko violation,
+    and not suicide.  A point is not suicide iff it has an empty neighbor,
+    or an adjacent friendly chain with >=2 distinct liberties, or an
+    adjacent enemy chain in atari (which it would capture).
+    """
+    n2 = size * size
+    B = core.stones.shape[0]
+    s2d = core.stones.reshape(B, size, size)
+    lm, lx = analyze_libs(s2d, size)
+
+    empty = s2d == EMPTY
+    friendly = s2d == core.to_play[:, None, None]
+    enemy = (s2d != EMPTY) & ~friendly
+
+    atari = (lm == lx) & (lm != _INF)
+    two_libs = lm < lx
+
+    has_empty_nbr = jnp.zeros_like(empty)
+    has_friend_alive = jnp.zeros_like(empty)
+    has_enemy_atari = jnp.zeros_like(empty)
+    for dr, dc in _DIRS:
+        has_empty_nbr |= _shift(empty, dr, dc, False)
+        has_friend_alive |= _shift(friendly & two_libs, dr, dc, False)
+        has_enemy_atari |= _shift(enemy & atari, dr, dc, False)
+
+    playable = empty & (has_empty_nbr | has_friend_alive | has_enemy_atari)
+
+    flat = playable.reshape(B, n2)
+    ko_active = (core.ko_age == 0) & (core.to_play == core.ko_color)
+    ko_mask = (
+        jnp.zeros((B, n2), jnp.bool_)
+        .at[jnp.arange(B), jnp.clip(core.ko_point, 0, n2 - 1)]
+        .set(ko_active & (core.ko_point >= 0))
+    )
+    flat = flat & ~ko_mask
+    return jnp.concatenate([flat, jnp.ones((B, 1), jnp.bool_)], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# termination + scoring
+# ---------------------------------------------------------------------------
+
+
+def is_terminal_core(core: GoCore, size: int) -> jax.Array:
+    """Two-pass or max-move termination (superko handled by the full env).
+
+    The reference `_ply` is 1-based (board.cc:106) and terminates at
+    getPly() >= 2*N^2 (go_state.h:146), i.e. after 2*N^2 - 1 moves.
+    """
+    return (core.passes >= 2) | (core.ply >= 2 * size * size - 1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def score_tromp_taylor(core: GoCore, size: int) -> jax.Array:
+    """i32 [B]: (black stones+territory) - (white stones+territory).
+
+    Reachability flood fill exactly as `simple_flood_fill` /
+    `simple_tt_scoring` (go_state.h:33-99): a cell counts for a color iff it
+    is reachable from that color's stones through empty cells and not
+    reachable by the other color.
+    """
+    B = core.stones.shape[0]
+    s2d = core.stones.reshape(B, size, size)
+    empty = s2d == EMPTY
+
+    def reach(color):
+        src = s2d == color
+        passable = empty | src
+
+        def cond(carry):
+            _, changed = carry
+            return changed
+
+        def body(carry):
+            r, _ = carry
+            grown = r
+            for dr, dc in _DIRS:
+                grown = grown | _shift(r, dr, dc, False)
+            grown = grown & passable
+            return grown, jnp.any(grown != r)
+
+        r, _ = lax.while_loop(cond, body, (src, jnp.bool_(True)))
+        return r
+
+    rb = reach(BLACK)
+    rw = reach(WHITE)
+    black_v = (rb & ~rw).sum(axis=(1, 2), dtype=jnp.int32)
+    white_v = (rw & ~rb).sum(axis=(1, 2), dtype=jnp.int32)
+    return black_v - white_v

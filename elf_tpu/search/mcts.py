@@ -1,0 +1,523 @@
+"""Batched array-of-trees MCTS: the TPU-native replacement for the reference
+multi-threaded tree search (`/root/reference/src_cpp/elf/ai/tree_search/
+tree_search.h:327` + `elfgames/go/mcts/mcts.h`).
+
+Where the reference runs `num_threads` C++ threads over one shared
+pointer-linked tree with CAS leaf dedup, here a whole *batch* of trees lives
+in `[B, num_nodes, ...]` arrays on device and every phase is a vectorized
+lockstep op under jit:
+
+  select   argmax-PUCT descent for all B trees at once (lax.while_loop over
+           depth), applying virtual loss along the chosen paths
+           (tree_search_node.h:233 addVirtualLoss); `rollouts_per_batch`
+           leaves are selected sequentially under virtual loss
+           (tree_search.h:201 batch_rollouts);
+  expand   allocate one child per tree per rollout by stepping the
+           vectorized Go env (lazy child alloc, tree_search_node.h:280);
+  evaluate ONE fused NN forward over all B * rollouts_per_batch leaves with
+           per-leaf random D4 symmetry (mcts.h:175 `get_extractor`) and the
+           terminal TT shortcut (mcts.h pre_evaluate: value = sign(score));
+  backprop add visit counts / values along parent chains
+           (tree_search_node.h:253 updateEdgeStats).
+
+Semantics parity with the reference:
+ - values are stored from BLACK's perspective; selection flips Q for white
+   (tree_search_base.h:132 getScore q_flip).
+ - PUCT score = Q + c_puct * prior * sqrt(total_parent_visits) / (1 + n),
+   with virtual loss counted as extra visits of value -1 for the mover.
+ - Dirichlet root noise via gamma draws, eps-mixed into the root prior
+   (tree_search_node.h:132 enhanceExploration).
+ - pass is masked from priors until ply >= ply_pass_enabled and when passing
+   now would lose on the TT count (mcts.h remove_pass_if_dangerous).
+ - a re-selected not-yet-evaluated leaf is re-evaluated rather than
+   duplicated (the array analog of requestEvaluation/waitEvaluation dedup).
+
+In-tree positional superko is not checked (the reference clones full
+GoState histories into the tree; our nodes are history-free — superko stays
+enforced at the *game* level in env.state).  This diverges only on rare
+in-search repetitions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from elf_tpu.env.go import engine
+from elf_tpu.env.go.engine import BLACK, GoCore
+from elf_tpu.env.go.features import (
+    extract_agz_from_snapshots,
+    inv_transform_policy,
+)
+
+NEG_INF = jnp.float32(-1e9)
+
+
+@dataclasses.dataclass(frozen=True)
+class MCTSConfig:
+    num_rollouts: int = 200
+    rollouts_per_batch: int = 8
+    c_puct: float = 1.5
+    virtual_loss: int = 1
+    root_epsilon: float = 0.0
+    root_alpha: float = 0.03
+    max_depth: int = 128
+    komi: float = 7.5
+    ply_pass_enabled: int = 0
+    remove_pass_if_dangerous: bool = True
+    rotation_flip: bool = True  # random D4 symmetry per NN evaluation
+
+    @property
+    def num_nodes(self) -> int:
+        return self.num_rollouts + 2
+
+
+class Tree(NamedTuple):
+    """[B, N(, ...)] arrays; node 0 is the root."""
+
+    # env core per node
+    stones: jax.Array       # i8  [B, N, n2]
+    to_play: jax.Array      # i8  [B, N]
+    ko_point: jax.Array     # i32 [B, N]
+    ko_color: jax.Array     # i8  [B, N]
+    ko_age: jax.Array       # i32 [B, N]
+    ply: jax.Array          # i32 [B, N]
+    passes: jax.Array       # i32 [B, N]
+    # search stats
+    prior: jax.Array        # f32 [B, N, A]   (-1 on illegal actions)
+    n_edge: jax.Array       # i32 [B, N, A]
+    w_edge: jax.Array       # f32 [B, N, A]   black-perspective value sums
+    vl_edge: jax.Array      # i32 [B, N, A]   virtual-loss counts
+    child: jax.Array        # i32 [B, N, A]   child node id or -1
+    parent: jax.Array       # i32 [B, N]
+    parent_a: jax.Array     # i32 [B, N]
+    expanded: jax.Array     # bool [B, N]
+    terminal: jax.Array     # bool [B, N]
+    value: jax.Array        # f32 [B, N]      NN/terminal value (black persp.)
+    count: jax.Array        # i32 [B]         allocated nodes
+
+
+class MCTSResult(NamedTuple):
+    mcts_policy: jax.Array   # f32 [B, A] normalized root visit distribution
+    best_action: jax.Array   # i32 [B]    most-visited root action
+    root_value: jax.Array    # f32 [B]    NN value at root (black perspective)
+    root_q: jax.Array        # f32 [B]    visit-weighted root Q (black persp.)
+
+
+# eval_fn(features [M, N, N, C]) -> (log_pi [M, A], value [M])
+EvalFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+
+
+def _init_tree(B: int, size: int, cfg: MCTSConfig) -> Tree:
+    n2 = size * size
+    A = n2 + 1
+    N = cfg.num_nodes
+    zi8 = lambda *s: jnp.zeros(s, jnp.int8)
+    zi32 = lambda *s: jnp.zeros(s, jnp.int32)
+    zf32 = lambda *s: jnp.zeros(s, jnp.float32)
+    return Tree(
+        stones=zi8(B, N, n2),
+        to_play=zi8(B, N),
+        ko_point=jnp.full((B, N), -1, jnp.int32),
+        ko_color=zi8(B, N),
+        ko_age=jnp.full((B, N), 10_000, jnp.int32),
+        ply=zi32(B, N),
+        passes=zi32(B, N),
+        prior=jnp.full((B, N, A), -1.0, jnp.float32),
+        n_edge=zi32(B, N, A),
+        w_edge=zf32(B, N, A),
+        vl_edge=zi32(B, N, A),
+        child=jnp.full((B, N, A), -1, jnp.int32),
+        parent=jnp.full((B, N), -1, jnp.int32),
+        parent_a=jnp.full((B, N), -1, jnp.int32),
+        expanded=jnp.zeros((B, N), jnp.bool_),
+        terminal=jnp.zeros((B, N), jnp.bool_),
+        value=zf32(B, N),
+        count=jnp.ones((B,), jnp.int32),  # root pre-allocated
+    )
+
+
+def _core_at(tree: Tree, rows: jax.Array, node: jax.Array, size: int) -> GoCore:
+    """Gather a GoCore batch for node ids `node` on tree rows `rows`
+    (both [K]-shaped; rows may repeat for multi-leaf gathers)."""
+    K = node.shape[0]
+    g = lambda a: a[rows, node]
+    # hashes aren't tracked in-tree (no superko in search); zeros suffice.
+    return GoCore(
+        stones=g(tree.stones),
+        to_play=g(tree.to_play),
+        ko_point=g(tree.ko_point),
+        ko_color=g(tree.ko_color),
+        ko_age=g(tree.ko_age),
+        ply=g(tree.ply),
+        passes=g(tree.passes),
+        last_move=jnp.full((K,), -1, jnp.int32),
+        hash_lo=jnp.zeros((K,), jnp.uint32),
+        hash_hi=jnp.zeros((K,), jnp.uint32),
+    )
+
+
+def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> Tree:
+    B = node.shape[0]
+    rows = jnp.arange(B)
+    node = jnp.clip(node, 0, tree.stones.shape[1] - 1)
+
+    def w(arr, val):
+        return arr.at[rows, node].set(
+            jnp.where(mask.reshape((B,) + (1,) * (val.ndim - 1)), val, arr[rows, node])
+        )
+
+    return tree._replace(
+        stones=w(tree.stones, core.stones),
+        to_play=w(tree.to_play, core.to_play),
+        ko_point=w(tree.ko_point, core.ko_point),
+        ko_color=w(tree.ko_color, core.ko_color),
+        ko_age=w(tree.ko_age, core.ko_age),
+        ply=w(tree.ply, core.ply),
+        passes=w(tree.passes, core.passes),
+    )
+
+
+def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
+    """[B, A] selection scores at `node` (tree_search_base.h:132 getScore)."""
+    B = node.shape[0]
+    rows = jnp.arange(B)
+    prior = tree.prior[rows, node]                      # [B, A]
+    n = tree.n_edge[rows, node].astype(jnp.float32)
+    w = tree.w_edge[rows, node]
+    vl = tree.vl_edge[rows, node].astype(jnp.float32)
+    legal = prior >= 0.0
+
+    to_play = tree.to_play[rows, node]
+    sign = jnp.where(to_play == BLACK, 1.0, -1.0)[:, None]
+
+    # virtual loss counts as vl extra visits of value -1 for the mover
+    n_eff = n + vl
+    w_eff = w * sign - vl
+    q = jnp.where(n_eff > 0, w_eff / jnp.maximum(n_eff, 1.0), 0.0)
+
+    total = jnp.sum(n_eff, axis=1, keepdims=True)
+    u = cfg.c_puct * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n_eff)
+    return jnp.where(legal, q + u, NEG_INF)
+
+
+def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int):
+    """One rollout's select+expand for all B trees.  Returns (tree, leaf_id).
+
+    leaf_id: newly allocated node (pending eval), an existing pending node,
+    an existing terminal node, or the root for terminal/degenerate roots."""
+    B = tree.stones.shape[0]
+    rows = jnp.arange(B)
+    A = size * size + 1
+
+    def cond(carry):
+        _, _, _, done, depth = carry
+        return (~jnp.all(done)) & (depth < cfg.max_depth)
+
+    def body(carry):
+        tree, cur, leaf, done, depth = carry
+        scores = _puct_scores(tree, cur, cfg)
+        a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        # virtual loss on traversed edge
+        vl = tree.vl_edge.at[rows, cur, a].add(
+            jnp.where(~done, cfg.virtual_loss, 0)
+        )
+        tree = tree._replace(vl_edge=vl)
+        child = tree.child[rows, cur, a]
+        has_child = child >= 0
+        safe_child = jnp.clip(child, 0, tree.stones.shape[1] - 1)
+        child_pending = has_child & ~tree.expanded[rows, safe_child] \
+            & ~tree.terminal[rows, safe_child]
+        child_terminal = has_child & tree.terminal[rows, safe_child]
+
+        stop_expand = ~done & ~has_child
+        stop_leaf = ~done & (child_pending | child_terminal)
+
+        leaf = jnp.where(stop_leaf, child, leaf)
+        # encode the expansion edge (cur, a) as -(cur*A + a) - 2
+        enc = -(cur * A + a) - 2
+        leaf = jnp.where(stop_expand, enc, leaf)
+        done = done | stop_expand | stop_leaf
+        cur = jnp.where(done, cur, safe_child)
+        return tree, cur, leaf, done, depth + 1
+
+    cur0 = jnp.zeros((B,), jnp.int32)
+    leaf0 = jnp.zeros((B,), jnp.int32)  # fallback: root (re-eval)
+    done0 = tree.terminal[:, 0]         # terminal roots: nothing to select
+    tree, cur, leaf, done, _ = lax.while_loop(
+        cond, body, (tree, cur0, leaf0, done0, jnp.int32(0))
+    )
+    # depth-cap hit: treat the current node as leaf (re-evaluate it)
+    leaf = jnp.where(~done, cur, leaf)
+
+    # --- expansion: decode (node, action), step env, allocate --------------
+    need_expand = leaf < -1
+    enc = jnp.where(need_expand, -(leaf + 2), 0)
+    exp_node = enc // A
+    exp_a = enc % A
+
+    core = _core_at(tree, rows, exp_node, size)
+    child_core, _ = engine.step_core(core, exp_a, size)
+    new_id = jnp.where(need_expand, tree.count, 0)
+    new_id = jnp.clip(new_id, 0, tree.stones.shape[1] - 1)
+
+    tree = _write_core(tree, new_id, child_core, need_expand)
+    term = engine.is_terminal_core(child_core, size)
+    tree = tree._replace(
+        parent=tree.parent.at[rows, new_id].set(
+            jnp.where(need_expand, exp_node, tree.parent[rows, new_id])
+        ),
+        parent_a=tree.parent_a.at[rows, new_id].set(
+            jnp.where(need_expand, exp_a, tree.parent_a[rows, new_id])
+        ),
+        terminal=tree.terminal.at[rows, new_id].set(
+            jnp.where(need_expand, term, tree.terminal[rows, new_id])
+        ),
+        child=tree.child.at[rows, exp_node, exp_a].set(
+            jnp.where(need_expand, new_id, tree.child[rows, exp_node, exp_a])
+        ),
+        count=tree.count + need_expand.astype(jnp.int32),
+    )
+    leaf = jnp.where(need_expand, new_id, leaf)
+    return tree, leaf
+
+
+def _leaf_snapshots(tree: Tree, rows: jax.Array, leaf: jax.Array,
+                    root_hist: jax.Array, root_hist_len: jax.Array, size: int):
+    """8 board snapshots ending at `leaf` (oldest first), walking parent
+    chains and extending into the game history below the root.
+
+    root_hist [B, 8, n2] game snapshots oldest-first (root_hist[:, 7] is the
+    root board); root_hist_len counts its valid entries.  rows/leaf are [K]
+    (rows may repeat).  Returns (snaps [K, 8, n2], valid [K, 8]) both
+    oldest-first.  A snapshot is valid iff it is a post-move board
+    (go_state history semantics: the initial board is never an entry)."""
+    H = root_hist.shape[1]
+
+    snaps_newest_first = []
+    valid_newest_first = []
+    cur = leaf
+    in_tree = jnp.ones_like(leaf, dtype=jnp.bool_)
+    k = jnp.zeros_like(leaf)  # moves before the root (valid once out of tree)
+    for _ in range(H):
+        safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
+        from_tree = tree.stones[rows, safe]
+        hist_idx = jnp.clip(H - 1 - k, 0, H - 1)
+        from_hist = root_hist[rows, hist_idx]
+        snaps_newest_first.append(
+            jnp.where(in_tree[:, None], from_tree, from_hist)
+        )
+        node_is_postmove = tree.ply[rows, safe] > 0
+        valid_newest_first.append(
+            jnp.where(in_tree, node_is_postmove, k < root_hist_len[rows])
+        )
+        parent = tree.parent[rows, safe]
+        exiting = in_tree & (parent < 0)  # cur is the root
+        k = jnp.where(in_tree, jnp.where(exiting, 1, 0), k + 1)
+        cur = jnp.where(in_tree & ~exiting, parent, cur)
+        in_tree = in_tree & ~exiting
+
+    snaps = jnp.stack(snaps_newest_first[::-1], axis=1)
+    valid = jnp.stack(valid_newest_first[::-1], axis=1)
+    return snaps, valid
+
+
+def _evaluate_states(
+    core: GoCore,
+    is_term: jax.Array,
+    snaps: jax.Array,
+    valid: jax.Array,
+    eval_fn: EvalFn,
+    rng: jax.Array,
+    cfg: MCTSConfig,
+    size: int,
+):
+    """Evaluate K gathered states: (prior [K, A], value [K] black persp.)."""
+    K = core.stones.shape[0]
+    n2 = size * size
+
+    codes = (
+        jax.random.randint(rng, (K,), 0, 8)
+        if cfg.rotation_flip
+        else jnp.zeros((K,), jnp.int32)
+    )
+    feats = extract_agz_from_snapshots(snaps, valid, core.to_play, codes, size)
+    log_pi, value = eval_fn(feats)
+    pi = jnp.exp(log_pi)
+    pi = inv_transform_policy(pi, codes, size)
+
+    legal = engine.legal_moves(core, size)
+
+    # pass gating (mcts.h post_nn_result + remove_pass_if_dangerous)
+    score = engine.score_tromp_taylor(core, size).astype(jnp.float32) - cfg.komi
+    black_winning = score > 0
+    mover_losing = jnp.where(core.to_play == BLACK, ~black_winning, black_winning)
+    pass_ok = core.ply >= cfg.ply_pass_enabled
+    if cfg.remove_pass_if_dangerous:
+        pass_ok = pass_ok & ~mover_losing
+    legal = legal.at[:, n2].set(legal[:, n2] & pass_ok)
+    none_legal = ~jnp.any(legal, axis=1)
+    legal = legal.at[:, n2].set(legal[:, n2] | none_legal)
+
+    pi = jnp.where(legal, pi, 0.0)
+    pi = pi / jnp.maximum(pi.sum(axis=1, keepdims=True), 1e-10)
+    prior = jnp.where(legal, pi, -1.0)
+
+    term_value = jnp.where(black_winning, 1.0, -1.0)
+    value = jnp.where(is_term, term_value, value)
+    return prior, value
+
+
+def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
+              active0: jax.Array, cfg: MCTSConfig) -> Tree:
+    """Add one visit of `value` (black perspective) along leaf->root
+    (updateEdgeStats + virtual-loss removal)."""
+    B = leaf.shape[0]
+    rows = jnp.arange(B)
+
+    def cond(carry):
+        _, _, active = carry
+        return jnp.any(active)
+
+    def body(carry):
+        tree, cur, active = carry
+        safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
+        p = tree.parent[rows, safe]
+        a = tree.parent_a[rows, safe]
+        upd = active & (p >= 0)
+        psafe = jnp.clip(p, 0, tree.stones.shape[1] - 1)
+        asafe = jnp.clip(a, 0, tree.prior.shape[2] - 1)
+        tree = tree._replace(
+            n_edge=tree.n_edge.at[rows, psafe, asafe].add(jnp.where(upd, 1, 0)),
+            w_edge=tree.w_edge.at[rows, psafe, asafe].add(
+                jnp.where(upd, value, 0.0)
+            ),
+            vl_edge=tree.vl_edge.at[rows, psafe, asafe].add(
+                jnp.where(upd, -cfg.virtual_loss, 0)
+            ),
+        )
+        cur = jnp.where(upd, p, cur)
+        return tree, cur, upd
+
+    tree, _, _ = lax.while_loop(cond, body, (tree, leaf, active0))
+    return tree
+
+
+def run_mcts(
+    root_core: GoCore,
+    root_hist: jax.Array,       # i8 [B, 8, n2] game snapshots (oldest first)
+    root_hist_len: jax.Array,   # i32 [B]
+    eval_fn: EvalFn,
+    rng: jax.Array,
+    cfg: MCTSConfig,
+    size: int,
+) -> Tuple[MCTSResult, Tree]:
+    """Run cfg.num_rollouts simulations for B boards in lockstep."""
+    B = root_core.stones.shape[0]
+    rows = jnp.arange(B)
+    A = size * size + 1
+
+    tree = _init_tree(B, size, cfg)
+    tree = _write_core(tree, jnp.zeros((B,), jnp.int32), root_core,
+                       jnp.ones((B,), jnp.bool_))
+    root_terminal = engine.is_terminal_core(root_core, size)
+    tree = tree._replace(terminal=tree.terminal.at[:, 0].set(root_terminal))
+
+    # root evaluation + Dirichlet noise
+    rng, k_eval, k_noise = jax.random.split(rng, 3)
+    root_ids = jnp.zeros((B,), jnp.int32)
+    snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
+                                   root_hist_len, size)
+    prior, value = _evaluate_states(
+        _core_at(tree, rows, root_ids, size), root_terminal,
+        snaps, valid, eval_fn, k_eval, cfg, size,
+    )
+    if cfg.root_epsilon > 0:
+        legal = prior >= 0
+        noise = jax.random.gamma(k_noise, cfg.root_alpha, (B, A))
+        noise = jnp.where(legal, noise, 0.0)
+        noise = noise / jnp.maximum(noise.sum(axis=1, keepdims=True), 1e-10)
+        mixed = (1 - cfg.root_epsilon) * jnp.maximum(prior, 0.0) \
+            + cfg.root_epsilon * noise
+        prior = jnp.where(legal, mixed, -1.0)
+    tree = tree._replace(
+        prior=tree.prior.at[:, 0].set(prior),
+        value=tree.value.at[:, 0].set(value),
+        expanded=tree.expanded.at[:, 0].set(True),
+    )
+
+    m = max(1, cfg.rollouts_per_batch)
+    n_batches = max(1, cfg.num_rollouts // m)
+
+    def sim_batch(carry, _):
+        tree, rng = carry
+
+        def one_select(tree, _):
+            tree, leaf = _select_and_expand(tree, cfg, size)
+            return tree, leaf
+
+        tree, leaves = lax.scan(one_select, tree, None, length=m)  # [m, B]
+
+        # ---- one fused NN evaluation over all m*B leaves ----
+        rng, k = jax.random.split(rng)
+        flat_leaves = leaves.reshape(m * B)
+        flat_rows = jnp.tile(rows, m)
+        safe = jnp.clip(flat_leaves, 0, tree.stones.shape[1] - 1)
+        flat_core = _core_at(tree, flat_rows, safe, size)
+        flat_term = tree.terminal[flat_rows, safe]
+        snaps, valid = _leaf_snapshots(tree, flat_rows, safe, root_hist,
+                                       root_hist_len, size)
+        priors, values = _evaluate_states(
+            flat_core, flat_term, snaps, valid, eval_fn, k, cfg, size
+        )
+        priors = priors.reshape(m, B, A)
+        values = values.reshape(m, B)
+
+        # ---- sequential write + backprop per rollout ----
+        def write_and_backprop(i, tree):
+            leaf = leaves[i]
+            safe = jnp.clip(leaf, 0, tree.stones.shape[1] - 1)
+            is_term = tree.terminal[rows, safe]
+            already = tree.expanded[rows, safe]
+            write = ~already & ~is_term
+            tree = tree._replace(
+                prior=tree.prior.at[rows, safe].set(
+                    jnp.where(write[:, None], priors[i], tree.prior[rows, safe])
+                ),
+                value=tree.value.at[rows, safe].set(
+                    jnp.where(write | is_term, values[i], tree.value[rows, safe])
+                ),
+                expanded=tree.expanded.at[rows, safe].set(
+                    tree.expanded[rows, safe] | write
+                ),
+            )
+            active0 = ~tree.terminal[:, 0]
+            return _backprop(tree, safe, values[i], active0, cfg)
+
+        tree = lax.fori_loop(0, m, write_and_backprop, tree)
+        return (tree, rng), None
+
+    (tree, _), _ = lax.scan(sim_batch, (tree, rng), None, length=n_batches)
+
+    visits = tree.n_edge[:, 0].astype(jnp.float32)            # [B, A]
+    legal_root = tree.prior[:, 0] >= 0
+    visits = jnp.where(legal_root, visits, 0.0)
+    mcts_policy = visits / jnp.maximum(visits.sum(axis=1, keepdims=True), 1e-10)
+    best = jnp.argmax(
+        visits + 1e-6 * jnp.maximum(tree.prior[:, 0], 0.0), axis=1
+    ).astype(jnp.int32)
+    w_root = tree.w_edge[:, 0]
+    root_q = jnp.sum(w_root, axis=1) / jnp.maximum(jnp.sum(visits, axis=1), 1.0)
+    return (
+        MCTSResult(
+            mcts_policy=mcts_policy,
+            best_action=best,
+            root_value=tree.value[:, 0],
+            root_q=root_q,
+        ),
+        tree,
+    )

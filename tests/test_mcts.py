@@ -1,0 +1,133 @@
+"""MCTS sanity tests: visit accounting, virtual-loss cleanup, and tactical
+preference with a score-aware evaluator (the array analog of the reference's
+`mcts_test.cc` white-box node tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elf_tpu.env.go import engine
+from elf_tpu.env.go.engine import BLACK, WHITE, init_core
+from elf_tpu.search.mcts import MCTSConfig, run_mcts
+from elf_tpu.env.go.state import MAX_AGZ_HISTORY
+
+
+def uniform_eval(num_actions):
+    def eval_fn(feats):
+        K = feats.shape[0]
+        log_pi = jnp.full((K, num_actions), -np.log(num_actions))
+        value = jnp.zeros((K,))
+        return log_pi, value
+
+    return eval_fn
+
+
+def empty_hist(B, size):
+    return (
+        jnp.zeros((B, MAX_AGZ_HISTORY, size * size), jnp.int8),
+        jnp.zeros((B,), jnp.int32),
+    )
+
+
+class TestMCTS:
+    def test_visit_accounting(self):
+        size = 5
+        B = 2
+        cfg = MCTSConfig(
+            num_rollouts=32, rollouts_per_batch=4, c_puct=1.5,
+            rotation_flip=False, remove_pass_if_dangerous=False,
+        )
+        core = init_core(B, size)
+        hist, hlen = empty_hist(B, size)
+        res, tree = run_mcts(
+            core, hist, hlen, uniform_eval(26), jax.random.PRNGKey(0), cfg, size
+        )
+        n_root = np.asarray(tree.n_edge[:, 0]).sum(axis=1)
+        # every rollout lands one root visit
+        np.testing.assert_array_equal(n_root, [32, 32])
+        # virtual loss fully removed
+        assert int(np.abs(np.asarray(tree.vl_edge)).sum()) == 0
+        # policy normalized
+        np.testing.assert_allclose(
+            np.asarray(res.mcts_policy).sum(axis=1), 1.0, rtol=1e-5
+        )
+        # node count == rollouts that expanded (<= rollouts + root)
+        assert (np.asarray(tree.count) <= 32 + 2).all()
+
+    def test_terminal_root(self):
+        size = 5
+        cfg = MCTSConfig(num_rollouts=8, rollouts_per_batch=2, rotation_flip=False)
+        core = init_core(1, size)
+        core = core._replace(passes=jnp.array([2]))  # already terminal
+        hist, hlen = empty_hist(1, size)
+        res, tree = run_mcts(
+            core, hist, hlen, uniform_eval(26), jax.random.PRNGKey(0), cfg, size
+        )
+        assert int(np.asarray(tree.n_edge).sum()) == 0
+
+    def test_prefers_winning_capture(self):
+        """Black can capture a large white group; with a TT-score-aware value
+        head MCTS must concentrate visits on the capture."""
+        size = 5
+        from tests.test_engine import core_from_oracle, make_oracle_from_diagram
+
+        o = make_oracle_from_diagram(
+            """
+            O O O X .
+            O O O X .
+            X X X X .
+            . . . . .
+            . . . . .
+            """,
+            to_play=BLACK,
+        )
+        # white group has one liberty? (0,4)? no: neighbors of the 2x3 white
+        # block: (0,3)X (1,3)X (2,0..2)X -> zero libs impossible; give one:
+        o = make_oracle_from_diagram(
+            """
+            O O . X .
+            O O X . .
+            X X . . .
+            . . . . .
+            . . . . .
+            """,
+            to_play=BLACK,
+        )
+        core = core_from_oracle(o)
+        capture_move = 2  # (0,2) captures the 4-stone white block
+
+        def eval_fn(feats):
+            K = feats.shape[0]
+            log_pi = jnp.full((K, 26), -np.log(26.0))
+            return log_pi, jnp.zeros((K,))
+
+        # value signal comes only from terminal TT shortcuts; deepen search
+        cfg = MCTSConfig(
+            num_rollouts=128, rollouts_per_batch=8, c_puct=1.0,
+            rotation_flip=False, komi=0.5, remove_pass_if_dangerous=True,
+        )
+        hist, hlen = empty_hist(1, size)
+        res, tree = run_mcts(
+            core, hist, hlen, eval_fn, jax.random.PRNGKey(1), cfg, size
+        )
+        # capture must be legal at root and receive meaningful visits
+        prior = np.asarray(tree.prior[0, 0])
+        assert prior[capture_move] >= 0
+        pol = np.asarray(res.mcts_policy[0])
+        assert pol[capture_move] > 0.02
+
+    def test_deterministic_given_key(self):
+        size = 5
+        cfg = MCTSConfig(num_rollouts=16, rollouts_per_batch=4, rotation_flip=True)
+        core = init_core(1, size)
+        hist, hlen = empty_hist(1, size)
+        r1, _ = run_mcts(core, hist, hlen, uniform_eval(26),
+                         jax.random.PRNGKey(7), cfg, size)
+        r2, _ = run_mcts(core, hist, hlen, uniform_eval(26),
+                         jax.random.PRNGKey(7), cfg, size)
+        np.testing.assert_array_equal(
+            np.asarray(r1.best_action), np.asarray(r2.best_action)
+        )
+        np.testing.assert_allclose(
+            np.asarray(r1.mcts_policy), np.asarray(r2.mcts_policy)
+        )
