@@ -1,10 +1,10 @@
 import os
-os.environ['JAX_PLATFORMS'] = 'cpu'
 os.environ['XLA_FLAGS'] = '--xla_force_host_platform_device_count=8'
 import sys
 sys.path.insert(0, '/root/repo')
 import time, functools
 import numpy as np, jax, jax.numpy as jnp
+jax.config.update('jax_platforms', 'cpu')  # axon sitecustomize pins the env var
 
 from elf_tpu.config import OptionSpec, GameOptions, MCTSOptions, TrainOptions, ReplayOptions
 from elf_tpu.env.go import state as gostate

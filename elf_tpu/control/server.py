@@ -1,0 +1,167 @@
+"""Training-server control plane: the TrainCtrl + ThreadedCtrl equivalents.
+
+Counterpart of `/root/reference/src_cpp/elfgames/go/train/game_ctrl.h` +
+`distri_server.h`:
+
+ - `TrainServer.on_receive` (TrainCtrl::OnReceive, game_ctrl.h:288): parse
+   a Records batch -> update the client manager -> feed selfplay records to
+   SelfPlaySubCtrl (version gate) + parity-insert into the replay buffer;
+   eval records feed EvalSubCtrl.
+ - `TrainServer.on_reply` (TrainCtrl::OnReply, game_ctrl.h:344): fill a
+   MsgRequest for the client — an eval job if the client is eval-capable
+   and a candidate needs games, else the current self-play version.
+ - model plane (ThreadedCtrl, game_ctrl.h:41): `notify_new_version` queues
+   a candidate for evaluation; a background sweep promotes candidates whose
+   win-rate bound clears the threshold, updating the self-play version,
+   optionally clearing the replay buffer (keep_prev_selfplay), and firing
+   `on_promote` so the learner reloads / records the new baseline.
+ - `wait_for_sufficient_selfplay` (game_ctrl.h:72).
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Callable, Optional
+
+from elf_tpu.config import ControlOptions, ReplayOptions
+from elf_tpu.control.client_manager import ClientManager, ClientType
+from elf_tpu.control.eval_ctrl import EvalSubCtrl
+from elf_tpu.control.selfplay_ctrl import SelfPlaySubCtrl
+from elf_tpu.control.transport import ControlServer
+from elf_tpu.logging_utils import get_indexed_logger
+from elf_tpu.selfplay.records import MsgRequest, Records
+from elf_tpu.training.replay import ReplayBuffer
+
+
+class TrainServer:
+    def __init__(
+        self,
+        opts: ControlOptions,
+        replay_opts: ReplayOptions,
+        on_promote: Optional[Callable[[int], None]] = None,
+        port: Optional[int] = None,
+        replay_seed: int = 0,
+        record_sink: Optional[Callable] = None,
+    ):
+        self.opts = opts
+        self.logger = get_indexed_logger("control.TrainServer-")
+        self.clients = ClientManager(
+            opts.expected_num_clients, opts.client_max_delay_sec
+        )
+        self.selfplay = SelfPlaySubCtrl(opts)
+        self.eval = EvalSubCtrl(opts)
+        self.replay = ReplayBuffer(replay_opts, seed=replay_seed)
+        # where accepted selfplay records go (default: raw replay insert;
+        # the learner passes TrainingPipeline.insert_record to get
+        # snapshot-precomputed items)
+        self.record_sink = record_sink or self.replay.insert
+        self.on_promote = on_promote
+        self.num_selfplay_games = 0
+        self.num_eval_games = 0
+        self._initial_ver_seen = False
+        self.server = ControlServer(
+            port if port is not None else opts.port,
+            self.on_receive,
+            self.on_reply,
+        )
+        self.port = self.server.port
+        self._sweep_stop = threading.Event()
+        self._sweep_thread = threading.Thread(target=self._sweep, daemon=True)
+
+    # -- lifecycle ----------------------------------------------------------
+
+    def start(self) -> None:
+        self.server.start()
+        self._sweep_thread.start()
+
+    def stop(self) -> None:
+        self._sweep_stop.set()
+        self.server.stop()
+
+    # -- data plane ---------------------------------------------------------
+
+    def on_receive(self, identity: str, title: str, body: str) -> None:
+        if title != "content":
+            return  # "ctrl" messages only refresh liveness
+        recs = Records.from_json_string(body)
+        self.clients.on_message(identity, recs.states)
+        for r in recs.records:
+            if r.request.vers.is_selfplay():
+                accepted = self.selfplay.feed(
+                    r,
+                    r.result.black_never_resign,
+                    r.result.white_never_resign,
+                )
+                if accepted:
+                    self.record_sink(r)
+                    self.num_selfplay_games += 1
+            elif r.request.vers.black_ver >= 0:
+                self.eval.feed(identity, r)
+                self.num_eval_games += 1
+
+    def on_reply(self, identity: str) -> dict:
+        c = self.clients.on_message(identity)
+        req = MsgRequest()
+        if c.type == ClientType.EVAL_THEN_SELFPLAY and self.eval.fill_in_request(
+            identity, req
+        ):
+            pass
+        else:
+            self.selfplay.fill_in_request(req)
+        return req.to_json()
+
+    # -- model plane --------------------------------------------------------
+
+    def set_initial_version(self, ver: int) -> None:
+        """distri_server.h:61 setInitialVersion."""
+        self.selfplay.set_version(ver)
+        self.eval.set_baseline(ver)
+        self._initial_ver_seen = True
+
+    def notify_new_version(self, old_ver: int, new_ver: int) -> None:
+        """distri_server.h notifyNewVersion: queue candidate for eval."""
+        self.eval.add_new_model_for_evaluation(new_ver)
+
+    def wait_for_sufficient_selfplay(
+        self, timeout: float = 3600.0, poll: float = 2.0
+    ) -> bool:
+        deadline = time.time() + timeout
+        initial = True
+        while time.time() < deadline:
+            if self.selfplay.is_sufficient(initial) and self.replay.ready():
+                return True
+            time.sleep(poll)
+        return False
+
+    def _is_client_dead(self, identity: str) -> bool:
+        c = self.clients.get(identity)
+        return c is None or not c.active
+
+    def _sweep(self) -> None:
+        while not self._sweep_stop.wait(2.0):
+            self.clients.sweep_dead()
+            promoted = self.eval.check_promotions(self._is_client_dead)
+            if promoted is not None:
+                self._promote(promoted)
+
+    def _promote(self, ver: int) -> None:
+        """ThreadedCtrl::updateModel (game_ctrl.h:202): new baseline, new
+        selfplay version, optional replay clear, learner notification."""
+        self.logger.info("promoting model version %d", ver)
+        self.eval.set_baseline(ver)
+        self.selfplay.set_version(ver)
+        if not self.opts.keep_prev_selfplay:
+            self.replay.clear()
+        if self.on_promote:
+            self.on_promote(ver)
+
+    def info(self) -> str:
+        return " | ".join(
+            [
+                self.clients.info(),
+                self.selfplay.info(),
+                self.eval.info(),
+                self.replay.info(),
+            ]
+        )

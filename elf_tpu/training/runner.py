@@ -1,0 +1,104 @@
+"""Learner runner: the training-server main loop.
+
+Counterpart of `/root/reference/scripts/elfgames/go/train.py` +
+`rlpytorch/runner/single_process.py`:
+ - wait for sufficient self-play (train.py runner after_start,
+   game_ctrl.h:72);
+ - episodes of `num_minibatch` train steps sampling from the replay
+   pipeline (single_process.py:57);
+ - `num_cooldown` BN re-estimation passes before each checkpoint
+   (single_process.py:101 cooldown passes);
+ - save `save-<step>.bin` + notify the control plane of the new version
+   (train.py:122 episode_summary -> notifyNewVersion).
+
+The GSPMD mesh path: pass `mesh` to shard the train step over devices
+(dp batch + tp channels, elf_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import numpy as np
+
+from elf_tpu.config import TrainOptions
+from elf_tpu.logging_utils import get_indexed_logger
+from elf_tpu.models.resnet import ModelConfig
+from elf_tpu.training.pipeline import TrainingPipeline
+from elf_tpu.training.trainer import (
+    TrainState,
+    Trainer,
+    save_checkpoint,
+)
+
+
+class LearnerRunner:
+    def __init__(
+        self,
+        trainer: Trainer,
+        pipeline: TrainingPipeline,
+        ckpt_dir: str,
+        opts: TrainOptions,
+        mesh=None,
+        seed: int = 0,
+    ):
+        self.trainer = trainer
+        self.pipeline = pipeline
+        self.ckpt_dir = ckpt_dir
+        self.opts = opts
+        self.logger = get_indexed_logger("training.LearnerRunner-")
+        self.state = trainer.init_state(jax.random.PRNGKey(seed))
+        if mesh is not None:
+            from elf_tpu.parallel.mesh import make_sharded_train_step, shard_state
+
+            self._train_step, shardings = make_sharded_train_step(
+                trainer, mesh, self.state
+            )
+            self.state = shard_state(self.state, shardings)
+        else:
+            self._train_step = jax.jit(trainer.make_train_step())
+        self._cooldown_step = jax.jit(trainer.make_cooldown_step())
+
+    def run_minibatch(self) -> Optional[Dict[str, float]]:
+        hb = self.pipeline.sample_host_batch(self.opts.batchsize)
+        if hb is None:
+            return None
+        feats, pi_t, winner = self.pipeline.device_batch(hb)
+        self.state, stats = self._train_step(self.state, feats, pi_t, winner)
+        return {k: float(v) for k, v in stats.items()}
+
+    def run_cooldown(self) -> int:
+        """BN re-estimation passes before checkpointing."""
+        n = 0
+        for _ in range(self.opts.num_cooldown):
+            hb = self.pipeline.sample_host_batch(self.opts.batchsize)
+            if hb is None:
+                break
+            feats, _, _ = self.pipeline.device_batch(hb)
+            self.state = self._cooldown_step(self.state, feats)
+            n += 1
+        return n
+
+    def episode(self, num_minibatch: int) -> Dict[str, float]:
+        """One training episode; returns averaged stats."""
+        agg: Dict[str, list] = {}
+        done = 0
+        while done < num_minibatch:
+            stats = self.run_minibatch()
+            if stats is None:
+                time.sleep(0.5)
+                continue
+            done += 1
+            for k, v in stats.items():
+                agg.setdefault(k, []).append(v)
+        return {k: float(np.mean(v)) for k, v in agg.items()}
+
+    def episode_summary(self) -> int:
+        """Cooldown + checkpoint; returns the new model version (= step)."""
+        self.run_cooldown()
+        path = save_checkpoint(self.ckpt_dir, self.state)
+        ver = int(self.state.step)
+        self.logger.info("saved %s (version %d)", path, ver)
+        return ver

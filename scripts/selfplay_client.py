@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Self-play client: one lockstep actor shard reporting to the server.
+
+Counterpart of `/root/reference/scripts/elfgames/go/selfplay.py` +
+`start_client.sh`: connect to the control server, load model versions from
+the shared checkpoint dir on request, play MCTS self-play games, ship
+records.
+
+Example (prod-shaped, start_client.sh:11):
+  python scripts/selfplay_client.py --ckpt_dir /ckpts \
+      --server_addr 10.0.0.1 --port 5556 --num_games 32 \
+      --num_rollouts 1600 --root_epsilon 0.25
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from elf_tpu.config import (
+    ControlOptions,
+    GameOptions,
+    MCTSOptions,
+    OptionMap,
+    OptionSpec,
+    TrainOptions,
+)
+from elf_tpu.logging_utils import configure, get_indexed_logger
+from elf_tpu.models.resnet import ModelConfig
+from elf_tpu.search.mcts import MCTSConfig
+from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
+from elf_tpu.control.client import SelfplayClient
+from elf_tpu.training.trainer import Trainer, load_checkpoint
+
+
+def main(argv=None):
+    spec = OptionSpec.from_dataclasses(
+        [GameOptions, MCTSOptions, TrainOptions, ControlOptions]
+    )
+    parser = spec.to_argparse()
+    parser.add_argument("--ckpt_dir", type=str, required=True)
+    parser.add_argument("--moves_per_round", type=int, default=16)
+    parser.add_argument("--loglevel", type=str, default="info")
+    args = parser.parse_args(argv)
+    om = OptionMap(spec, vars(args))
+    g = om.get(GameOptions)
+    mo = om.get(MCTSOptions)
+    to = om.get(TrainOptions)
+    co = om.get(ControlOptions)
+
+    configure(args.loglevel)
+    logger = get_indexed_logger("scripts.selfplay_client-")
+
+    cfg = ModelConfig(
+        board_size=g.board_size,
+        num_planes=25 if g.use_df_feature else 18,
+        num_block=to.num_block,
+        dim=to.dim,
+        use_bf16=to.bf16,
+    )
+    trainer = Trainer(cfg, to)
+    template = trainer.init_state(__import__("jax").random.PRNGKey(0))
+    eval_raw = trainer.make_eval_fn()
+
+    def eval_builder(params, batch_stats):
+        return lambda feats: eval_raw(params, batch_stats, feats)
+
+    acfg = ActorConfig(
+        board_size=g.board_size,
+        batch=g.num_games,
+        komi=g.komi,
+        policy_distri_cutoff=g.policy_distri_cutoff,
+        resign_thres=co.resign_thres,
+        never_resign_prob=co.never_resign_prob,
+        cheat_selfplay_random_result=g.cheat_selfplay_random_result,
+    )
+    mcfg = MCTSConfig(
+        num_rollouts=mo.num_rollouts,
+        rollouts_per_batch=mo.rollouts_per_batch,
+        c_puct=mo.c_puct,
+        virtual_loss=mo.virtual_loss,
+        root_epsilon=mo.root_epsilon,
+        root_alpha=mo.root_alpha,
+        komi=g.komi,
+        ply_pass_enabled=g.ply_pass_enabled,
+    )
+    actor = SelfplayActor(acfg, mcfg, eval_builder, seed=g.seed)
+
+    def load_params(ver: int):
+        path = os.path.join(args.ckpt_dir, f"save-{ver}.bin")
+        state = load_checkpoint(path, template=template)
+        return state.params, state.batch_stats
+
+    client = SelfplayClient(co, actor, load_params, port=co.port)
+    logger.info(
+        "client %s -> %s:%d (B=%d, %d rollouts)",
+        client.identity, co.server_addr, co.port, g.num_games, mo.num_rollouts,
+    )
+    client.run(moves_per_round=args.moves_per_round)
+
+
+if __name__ == "__main__":
+    main()

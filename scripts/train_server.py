@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Training server: learner + control plane.
+
+Counterpart of `/root/reference/scripts/elfgames/go/train.py` +
+`start_server.sh`: starts the TCP control plane, waits for sufficient
+self-play, then runs train episodes, checkpoints `save-<step>.bin`, and
+notifies new versions for evaluation/promotion.
+
+Example (prod-shaped, start_server.sh:10):
+  python scripts/train_server.py --ckpt_dir /ckpts --batchsize 2048 \
+      --num_block 20 --dim 256 --lr 0.01 --port 5556
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from elf_tpu.config import (
+    ControlOptions,
+    GameOptions,
+    OptionSpec,
+    ReplayOptions,
+    TrainOptions,
+)
+from elf_tpu.logging_utils import configure, get_indexed_logger
+from elf_tpu.models.resnet import ModelConfig
+from elf_tpu.training.pipeline import TrainingPipeline
+from elf_tpu.training.runner import LearnerRunner
+from elf_tpu.training.trainer import Trainer, load_checkpoint, version_from_path
+from elf_tpu.control.server import TrainServer
+
+
+def main(argv=None):
+    spec = OptionSpec.from_dataclasses(
+        [GameOptions, TrainOptions, ReplayOptions, ControlOptions]
+    )
+    parser = spec.to_argparse()
+    parser.add_argument("--ckpt_dir", type=str, required=True)
+    parser.add_argument("--num_minibatch", type=int, default=1000)
+    parser.add_argument("--num_episodes", type=int, default=0,
+                        help="0 = run forever")
+    parser.add_argument("--load", type=str, default="",
+                        help="resume from checkpoint path or dir")
+    parser.add_argument("--use_mesh", type=int, default=1,
+                        help="GSPMD-shard the train step over all devices")
+    parser.add_argument("--loglevel", type=str, default="info")
+    args = parser.parse_args(argv)
+    om_values = vars(args)
+    from elf_tpu.config import OptionMap
+
+    om = OptionMap(spec, om_values)
+    g = om.get(GameOptions)
+    to = om.get(TrainOptions)
+    ro = om.get(ReplayOptions)
+    co = om.get(ControlOptions)
+
+    configure(args.loglevel)
+    logger = get_indexed_logger("scripts.train_server-")
+
+    cfg = ModelConfig(
+        board_size=g.board_size,
+        num_planes=25 if g.use_df_feature else 18,
+        num_block=to.num_block,
+        dim=to.dim,
+        bn_momentum=to.bn_momentum,
+        use_bf16=to.bf16,
+    )
+    trainer = Trainer(cfg, to)
+
+    mesh = None
+    if args.use_mesh and len(jax.devices()) > 1:
+        from elf_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        mesh = make_mesh(n, tp=2 if n % 2 == 0 else 1)
+        logger.info("training on mesh %s", dict(mesh.shape))
+
+    # pipeline + server wiring: accepted records flow into the pipeline
+    from elf_tpu.training.replay import ReplayBuffer
+
+    replay = ReplayBuffer(ro, seed=g.seed)
+    pipeline = TrainingPipeline(replay, g.board_size, seed=g.seed)
+    runner = LearnerRunner(trainer, pipeline, args.ckpt_dir, to, mesh=mesh,
+                           seed=g.seed)
+
+    if args.load:
+        runner.state = load_checkpoint(args.load, template=runner.state)
+        logger.info("resumed from %s at step %d", args.load, int(runner.state.step))
+
+    server = TrainServer(
+        co, ro, port=co.port, record_sink=pipeline.insert_record,
+    )
+    server.replay = replay  # share the buffer
+    server.start()
+    initial_ver = int(runner.state.step)
+    server.set_initial_version(initial_ver)
+    # write the initial checkpoint so clients can load version 0
+    runner.episode_summary()
+    logger.info("server up on :%d, initial version %d", server.port, initial_ver)
+
+    def on_promote(ver: int) -> None:
+        logger.info("model %d promoted to selfplay baseline", ver)
+
+    server.on_promote = on_promote
+
+    try:
+        logger.info("waiting for sufficient selfplay...")
+        server.wait_for_sufficient_selfplay(timeout=86400)
+        episode = 0
+        while args.num_episodes == 0 or episode < args.num_episodes:
+            episode += 1
+            stats = runner.episode(args.num_minibatch)
+            ver = runner.episode_summary()
+            server.notify_new_version(initial_ver, ver)
+            logger.info(
+                "episode %d: ver %d, %s | %s",
+                episode, ver,
+                {k: round(v, 4) for k, v in stats.items()},
+                server.info(),
+            )
+    except KeyboardInterrupt:
+        pass
+    finally:
+        server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""Self-play actor integration: lockstep games run to completion, emit
+protocol Records, and reset in place (the §6 minimum end-to-end slice of
+SURVEY.md's build plan, minus the network fabric)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from elf_tpu.env.go.coords import sgf_string_to_moves
+from elf_tpu.search.mcts import MCTSConfig
+from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
+from elf_tpu.selfplay.records import Records, dequantize_policy
+
+
+def uniform_eval_builder(num_actions):
+    def builder(params, batch_stats):
+        def eval_fn(feats):
+            K = feats.shape[0]
+            return (
+                jnp.full((K, num_actions), -np.log(num_actions)),
+                jnp.zeros((K,)),
+            )
+
+        return eval_fn
+
+    return builder
+
+
+class TestSelfplayActor:
+    def test_games_complete_and_emit_records(self):
+        size = 5
+        cfg = ActorConfig(
+            board_size=size, batch=4, komi=7.5,
+            policy_distri_cutoff=8, resign_thres=0.0, never_resign_prob=1.0,
+        )
+        mcfg = MCTSConfig(
+            num_rollouts=8, rollouts_per_batch=4, rotation_flip=False,
+            root_epsilon=0.25, root_alpha=0.5,
+        )
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=0)
+        records = []
+        for _ in range(12):
+            records.extend(actor.play_moves(None, None, 5))
+            if len(records) >= 3:
+                break
+        assert len(records) >= 3, f"only {len(records)} games finished"
+        for r in records:
+            moves = sgf_string_to_moves(r.result.content, size)
+            assert r.result.num_move == len(moves)
+            assert len(r.result.values) == len(moves)
+            assert r.result.reward in (-1.0, 1.0)
+            # policies dequantize to distributions
+            if r.result.policies:
+                pi = dequantize_policy(r.result.policies[0], 26)
+                assert abs(pi.sum() - 1.0) < 1e-3
+        # wire round-trip
+        blob = Records(identity="c0", records=records).to_json_string()
+        back = Records.from_json_string(blob)
+        assert len(back.records) == len(records)
+
+    def test_record_games_are_legal(self):
+        """Replaying an emitted record through the oracle validates every
+        move (cross-engine legality of self-play output)."""
+        from elf_tpu.env.go.oracle import OracleGo
+
+        size = 5
+        cfg = ActorConfig(
+            board_size=size, batch=2, policy_distri_cutoff=50,
+            never_resign_prob=1.0,
+        )
+        mcfg = MCTSConfig(num_rollouts=8, rollouts_per_batch=4,
+                          rotation_flip=False, root_epsilon=0.25,
+                          root_alpha=0.5)
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=1)
+        records = []
+        for _ in range(14):
+            records.extend(actor.play_moves(None, None, 5))
+            if records:
+                break
+        assert records
+        moves = sgf_string_to_moves(records[0].result.content, size)
+        o = OracleGo(size)
+        for m in moves:
+            assert o.play(m), f"illegal move {m} in emitted record"

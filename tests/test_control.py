@@ -1,0 +1,173 @@
+"""Control-plane integration: server + client over real sockets in-process,
+exercising the full request/record/eval/promotion loop with cheat modes —
+the reference's integration strategy (`--cheat_selfplay_random_result`,
+game.py:243, SURVEY.md §4) without needing trained models."""
+
+import threading
+import time
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elf_tpu.config import ControlOptions, ReplayOptions
+from elf_tpu.control.client import SelfplayClient
+from elf_tpu.control.client_manager import ClientManager, ClientType
+from elf_tpu.control.eval_ctrl import EvalSubCtrl, WinEstimate
+from elf_tpu.control.selfplay_ctrl import ResignThresholdCalculator, SelfPlaySubCtrl
+from elf_tpu.control.server import TrainServer
+from elf_tpu.search.mcts import MCTSConfig
+from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
+from elf_tpu.selfplay.records import (
+    ClientCtrl,
+    ModelPair,
+    MsgRequest,
+    MsgResult,
+    Record,
+)
+
+
+def fake_record(ver=0, white_ver=-1, reward=1.0, swap=False, values=None,
+                never_resign=False):
+    return Record(
+        request=MsgRequest(
+            vers=ModelPair(black_ver=ver, white_ver=white_ver),
+            client_ctrl=ClientCtrl(player_swap=swap),
+        ),
+        result=MsgResult(
+            reward=reward,
+            content="(;B[aa])",
+            num_move=1,
+            values=values or [0.5],
+            black_never_resign=never_resign,
+            white_never_resign=never_resign,
+        ),
+    )
+
+
+class TestSubControllers:
+    def test_selfplay_version_gate(self):
+        opts = ControlOptions(selfplay_init_num=2, selfplay_update_num=3)
+        sp = SelfPlaySubCtrl(opts)
+        sp.set_version(5)
+        assert not sp.feed(fake_record(ver=4))   # stale version rejected
+        assert sp.feed(fake_record(ver=5))
+        assert sp.num_games() == 1
+        assert not sp.is_sufficient(initial=True)
+        assert sp.feed(fake_record(ver=5))
+        assert sp.is_sufficient(initial=True)
+
+    def test_resign_threshold_quantile(self):
+        rc = ResignThresholdCalculator(
+            hist_size=1000, false_positive_target=0.1, initial_threshold=0.05,
+            max_threshold=0.5,
+        )
+        rng = np.random.RandomState(0)
+        # 200 never-resign black-win games whose black min values spread
+        for _ in range(200):
+            vals = [float(v) for v in rng.uniform(-0.9, 0.9, size=10)]
+            rc.feed(fake_record(reward=1.0, values=vals, never_resign=True),
+                    True, True)
+        t0 = rc.threshold
+        for _ in range(30):
+            rc.update_threshold(max_delta=0.01)
+        # threshold should have moved towards the 10% quantile of (1+minval)
+        assert rc.threshold != t0
+        assert 0.0 <= rc.threshold <= 0.5
+
+    def test_eval_promotion_flow(self):
+        opts = ControlOptions(eval_num_games=8, eval_winrate_thres=0.55)
+        ev = EvalSubCtrl(opts)
+        ev.set_baseline(0)
+        ev.add_new_model_for_evaluation(1)
+        reqs = []
+        for i in range(8):
+            req = MsgRequest()
+            assert ev.fill_in_request(f"client{i}", req)
+            assert req.vers.black_ver == 1 and req.vers.white_ver == 0
+            reqs.append(req)
+        swaps = [r.client_ctrl.player_swap for r in reqs]
+        assert sum(swaps) == 4  # half swapped
+        # candidate wins everything -> promoted
+        for i, req in enumerate(reqs):
+            reward = -1.0 if req.client_ctrl.player_swap else 1.0
+            ev.feed(f"client{i}", fake_record(
+                ver=1, white_ver=0, reward=reward, swap=req.client_ctrl.player_swap
+            ))
+        promoted = ev.check_promotions(lambda ident: False)
+        assert promoted == 1
+
+    def test_eval_early_loss(self):
+        opts = ControlOptions(eval_num_games=8, eval_winrate_thres=0.55)
+        ev = EvalSubCtrl(opts)
+        ev.set_baseline(0)
+        ev.add_new_model_for_evaluation(1)
+        for i in range(8):
+            req = MsgRequest()
+            assert ev.fill_in_request(f"c{i}", req)
+            # candidate loses every game
+            reward = 1.0 if req.client_ctrl.player_swap else -1.0
+            ev.feed(f"c{i}", fake_record(
+                ver=1, white_ver=0, reward=reward, swap=req.client_ctrl.player_swap
+            ))
+        assert ev.check_promotions(lambda ident: False) is None
+        assert ev.pending == []  # rejected
+
+    def test_client_manager_roles_and_death(self):
+        cm = ClientManager(4, max_delay_sec=0.2, selfplay_only_ratio=0.5)
+        types = [cm.on_message(f"c{i}").type for i in range(4)]
+        assert types.count(ClientType.EVAL_THEN_SELFPLAY) == 2
+        time.sleep(0.3)
+        dead = cm.sweep_dead()
+        assert len(dead) == 4
+        cm.on_message("c0")
+        assert cm.num_alive() == 1
+
+
+class TestEndToEnd:
+    def test_server_client_loop(self):
+        """Full socket loop: client plays cheat-mode games, ships records,
+        server version-gates + fills requests; selfplay becomes sufficient."""
+        opts = ControlOptions(
+            expected_num_clients=1,
+            selfplay_init_num=2,
+            selfplay_update_num=2,
+            client_max_delay_sec=60,
+        )
+        ropts = ReplayOptions(num_reader=2, q_min_size=1, q_max_size=50)
+        server = TrainServer(opts, ropts, port=0)
+        server.start()
+        try:
+            server.set_initial_version(0)
+
+            size = 5
+            acfg = ActorConfig(
+                board_size=size, batch=2, policy_distri_cutoff=50,
+                never_resign_prob=1.0, cheat_selfplay_random_result=True,
+            )
+            mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                              rotation_flip=False, root_epsilon=0.25,
+                              root_alpha=0.5)
+
+            def eval_builder(params, batch_stats):
+                def eval_fn(feats):
+                    K = feats.shape[0]
+                    return (
+                        jnp.full((K, 26), -np.log(26.0)), jnp.zeros((K,))
+                    )
+                return eval_fn
+
+            actor = SelfplayActor(acfg, mcfg, eval_builder, seed=3)
+            client = SelfplayClient(
+                opts, actor, load_params_fn=lambda ver: (None, None),
+                port=server.port,
+            )
+            client.run(moves_per_round=10, max_rounds=30,
+                       stop_fn=lambda: server.num_selfplay_games >= 3)
+            assert server.num_selfplay_games >= 3
+            assert server.replay.size() >= 3
+            assert client.loaded_ver == 0
+            assert server.selfplay.is_sufficient(initial=True)
+            assert server.clients.num_alive() == 1
+        finally:
+            server.stop()

@@ -1,0 +1,74 @@
+"""GTP console: protocol framing + a short scripted game through the
+engine (console_lib.py GoConsoleGTP behavior)."""
+
+import io
+
+import jax.numpy as jnp
+import numpy as np
+
+from elf_tpu.console.gtp import GtpConsole, GtpEngine
+from elf_tpu.search.mcts import MCTSConfig
+
+
+def uniform_builder(params, batch_stats):
+    def eval_fn(feats):
+        K = feats.shape[0]
+        A = feats.shape[1] * feats.shape[2] + 1
+        return jnp.full((K, A), -np.log(A)), jnp.zeros((K,))
+
+    return eval_fn
+
+
+def make_console(size=5):
+    mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                      rotation_flip=False, remove_pass_if_dangerous=False)
+    engine = GtpEngine(uniform_builder, mcfg, size=size, komi=7.5)
+    return GtpConsole(engine)
+
+
+class TestGtp:
+    def test_protocol_basics(self):
+        c = make_console()
+        assert c.handle("protocol_version").startswith("= 2")
+        assert c.handle("name").startswith("= elf_tpu")
+        assert c.handle("7 name").startswith("=7 ")
+        assert c.handle("bogus_cmd").startswith("?")
+        assert c.handle("known_command genmove").startswith("= true")
+        assert "genmove" in c.handle("list_commands")
+
+    def test_play_and_genmove(self):
+        c = make_console(size=5)
+        assert c.handle("boardsize 5").startswith("=")
+        assert c.handle("clear_board").startswith("=")
+        assert c.handle("komi 7.5").startswith("=")
+        assert c.handle("play B C3").startswith("=")
+        resp = c.handle("genmove W")
+        assert resp.startswith("= ")
+        mv = resp.split()[1]
+        assert mv in ("pass", "resign") or (
+            mv[0] in "ABCDEFGHJ" and mv[1:].isdigit()
+        )
+        board = c.handle("showboard")
+        assert "X" in board  # black stone on board
+
+    def test_illegal_play_rejected(self):
+        c = make_console(size=5)
+        assert c.handle("play B C3").startswith("=")
+        assert c.handle("play W C3").startswith("?")  # occupied
+
+    def test_undo_and_score(self):
+        c = make_console(size=5)
+        c.handle("play B C3")
+        assert c.handle("undo").startswith("=")
+        board = c.handle("showboard")
+        assert "X" not in board
+        score = c.handle("final_score")
+        assert score.startswith("= W+")  # empty board: komi to white
+
+    def test_quit(self):
+        c = make_console()
+        out = io.StringIO()
+        c.run(stdin=io.StringIO("name\nquit\nname\n"), stdout=out)
+        text = out.getvalue()
+        assert "elf_tpu" in text
+        assert text.count("elf_tpu") == 1  # stopped at quit
