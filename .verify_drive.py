@@ -28,7 +28,7 @@ cfg = ModelConfig(board_size=size, num_planes=18, num_block=to.num_block, dim=to
 tr = Trainer(cfg, to)
 ts = tr.init_state(jax.random.PRNGKey(0))
 eval_raw = tr.make_eval_fn()
-eval_fn = lambda f: eval_raw(ts.params, ts.batch_stats, f)
+eval_fn = lambda f, tp: eval_raw(ts.params, ts.batch_stats, f)
 
 mcfg = MCTSConfig(num_rollouts=mo.num_rollouts, rollouts_per_batch=4, komi=g.komi, rotation_flip=True)
 mcts_jit = jax.jit(functools.partial(run_mcts, eval_fn=eval_fn, cfg=mcfg, size=size))

@@ -36,29 +36,35 @@ def bench_env_steps(B=4096, size=19, chunk=64, iters=4):
             b,
         )
 
+    fresh_legal = jnp.ones((B, size * size + 1), jnp.bool_)
+
     @jax.jit
-    def rollout_chunk(core, key):
+    def rollout_chunk(core, legal, key):
         def body(carry, _):
-            core, key = carry
+            core, legal, key = carry
             key, k = jax.random.split(key)
-            lm = engine.legal_moves(core, size)
-            logits = jnp.where(lm, 0.0, -1e9)
+            logits = jnp.where(legal, 0.0, -1e9)
             a = jax.random.categorical(k, logits, axis=1).astype(jnp.int32)
-            core, _ = engine.step_core(core, a, size)
+            core, info = engine.step_core(core, a, size)
             done = engine.is_terminal_core(core, size)
             core = tree_where(done, fresh, core)
-            return (core, key), None
+            # legality rides along from the step's own analysis
+            legal = jnp.where(done[:, None], fresh_legal, info.legal_next)
+            return (core, legal, key), None
 
-        (core, key), _ = lax.scan(body, (core, key), None, length=chunk)
-        return core, key
+        (core, legal, key), _ = lax.scan(
+            body, (core, legal, key), None, length=chunk
+        )
+        return core, legal, key
 
     core = engine.init_core(B, size)
     key = jax.random.PRNGKey(0)
-    core, key = rollout_chunk(core, key)  # warmup + compile
-    jax.block_until_ready(core.stones)
+    carry = rollout_chunk(core, fresh_legal, key)  # warmup + compile
+    jax.block_until_ready(carry[0].stones)
+    core, legal, key = carry
     t0 = time.perf_counter()
     for _ in range(iters):
-        core, key = rollout_chunk(core, key)
+        core, legal, key = rollout_chunk(core, legal, key)
     jax.block_until_ready(core.stones)
     dt = time.perf_counter() - t0
     return B * chunk * iters / dt
@@ -87,6 +93,42 @@ def bench_nn_forward(batch=128, blocks=20, dim=256):
     return batch * n / dt
 
 
+def bench_mcts_rollouts(B=16, rollouts=64, m=8, blocks=20, dim=256):
+    """MCTS rollouts/s at the production net (BASELINE.md primary metric)."""
+    import functools
+
+    from elf_tpu.env.go.engine import init_core
+    from elf_tpu.env.go.state import MAX_AGZ_HISTORY
+    from elf_tpu.models.resnet import ModelConfig, PolicyValueNet
+    from elf_tpu.search.mcts import MCTSConfig, run_mcts
+
+    cfg = ModelConfig(board_size=19, num_planes=18, num_block=blocks, dim=dim)
+    model = PolicyValueNet(cfg)
+    x = jnp.zeros((1, 19, 19, 18))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def eval_fn(feats, to_play):
+        return model.apply(variables, feats, train=False)
+
+    mcfg = MCTSConfig(num_rollouts=rollouts, rollouts_per_batch=m,
+                      rotation_flip=True)
+    fn = jax.jit(functools.partial(run_mcts, eval_fn=eval_fn, cfg=mcfg, size=19))
+    core = init_core(B, 19)
+    hist = jnp.zeros((B, MAX_AGZ_HISTORY, 361), jnp.int8)
+    hlen = jnp.zeros((B,), jnp.int32)
+    res, _ = fn(root_core=core, root_hist=hist, root_hist_len=hlen,
+                rng=jax.random.PRNGKey(0))
+    jax.block_until_ready(res.mcts_policy)
+    t0 = time.perf_counter()
+    n = 3
+    for i in range(n):
+        res, _ = fn(root_core=core, root_hist=hist, root_hist_len=hlen,
+                    rng=jax.random.PRNGKey(i + 1))
+    jax.block_until_ready(res.mcts_policy)
+    dt = time.perf_counter() - t0
+    return B * rollouts * n / dt
+
+
 def main():
     t_all = time.time()
     env_sps = bench_env_steps()
@@ -96,6 +138,14 @@ def main():
         print(f"# NN fwd evals/s (20b256c, bs=128): {nn_sps:,.0f}", file=sys.stderr)
     except Exception as e:  # noqa: BLE001
         print(f"# NN bench failed: {e}", file=sys.stderr)
+    try:
+        mcts_rps = bench_mcts_rollouts()
+        print(
+            f"# MCTS rollouts/s (20b256c, B=16, 64 rollouts): {mcts_rps:,.0f}",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# MCTS bench failed: {e}", file=sys.stderr)
     print(f"# total bench time: {time.time()-t_all:.1f}s", file=sys.stderr)
     print(
         json.dumps(

@@ -34,11 +34,19 @@ class SelfplayClient:
         actor: SelfplayActor,
         load_params_fn: Callable[[int], tuple],
         port: Optional[int] = None,
+        eval_actor: Optional[SelfplayActor] = None,
+        cheat_eval_new_model_wins_half: bool = False,
     ):
         """load_params_fn(version) -> (params, batch_stats); called on
-        version changes (with retries, selfplay.py:146)."""
+        version changes (with retries, selfplay.py:146).
+
+        eval_actor: a second actor (noise-free MCTS, pair eval builder from
+        `make_pair_eval_builder`) used when the server assigns eval games
+        (candidate vs baseline with player_swap)."""
         self.opts = opts
         self.actor = actor
+        self.eval_actor = eval_actor
+        self.cheat_eval = cheat_eval_new_model_wins_half
         self.load_params_fn = load_params_fn
         self.identity = make_identity()
         self.transport = ControlClient(
@@ -50,6 +58,7 @@ class SelfplayClient:
         self.params = None
         self.batch_stats = None
         self.loaded_ver = -1
+        self._ver_cache = {}
 
     # -- control round trips ------------------------------------------------
 
@@ -78,8 +87,18 @@ class SelfplayClient:
             for attempt in range(60):
                 try:
                     self.params, self.batch_stats = self.load_params_fn(ver)
+                    prev = self.loaded_ver
                     self.loaded_ver = ver
                     self.logger.info("loaded model version %d", ver)
+                    if req.vers.is_selfplay():
+                        if req.client_ctrl.async_mode:
+                            # async: games continue across versions
+                            # (setAsync, game_selfplay.cc:151)
+                            self.actor.note_model_version(ver)
+                        elif prev >= 0:
+                            # sync: restart in-flight games so every record
+                            # is single-version (OnReceive restart matrix)
+                            self.actor.reset_all()
                     break
                 except (OSError, ValueError) as e:
                     self.logger.warning(
@@ -91,6 +110,39 @@ class SelfplayClient:
         # not baked into the jitted move_fn)
         self.actor.resign_thres = req.client_ctrl.resign_thres
         self.actor.never_resign_prob = req.client_ctrl.never_resign_prob
+
+    # -- eval games ---------------------------------------------------------
+
+    def _load_cached(self, ver: int):
+        if ver not in self._ver_cache:
+            self._ver_cache[ver] = self.load_params_fn(ver)
+            # bound the cache
+            while len(self._ver_cache) > 4:
+                oldest = min(self._ver_cache)
+                if oldest == ver:
+                    break
+                del self._ver_cache[oldest]
+        return self._ver_cache[ver]
+
+    def _play_eval_round(self, moves_per_round: int):
+        """Play eval games: candidate (black_ver) vs baseline (white_ver),
+        colors exchanged when player_swap (game_selfplay.cc:164)."""
+        vers = self.request.vers
+        swap = self.request.client_ctrl.player_swap
+        cand = self._load_cached(vers.black_ver)
+        base = self._load_cached(vers.white_ver)
+        black, white = (base, cand) if swap else (cand, base)
+        params = (black[0], white[0])
+        batch_stats = (black[1], white[1])
+        if self.cheat_eval:
+            # decide by version-hash coin flip (go_state_ext.h:86)
+            h = hash((vers.black_ver, vers.white_ver))
+            self.eval_actor.reward_override_fn = (
+                lambda b: 1.0 if (h + b) % 2 == 0 else -1.0
+            )
+        return self.eval_actor.play_moves(
+            params, batch_stats, moves_per_round, request=self.request,
+        )
 
     # -- main loop ----------------------------------------------------------
 
@@ -116,10 +168,13 @@ class SelfplayClient:
                 if self.request.vers.wait():
                     time.sleep(1.0)
                 continue
-            recs = self.actor.play_moves(
-                self.params, self.batch_stats, moves_per_round,
-                request=self.request,
-            )
+            if self.request.vers.is_selfplay() or self.eval_actor is None:
+                recs = self.actor.play_moves(
+                    self.params, self.batch_stats, moves_per_round,
+                    request=self.request,
+                )
+            else:
+                recs = self._play_eval_round(moves_per_round)
             pending.extend(recs)
             req = self._ship(pending)
             if req is not None:

@@ -79,6 +79,9 @@ class StepInfo(NamedTuple):
     illegal: jax.Array     # bool [B]  move was illegal (state unchanged)
     captured: jax.Array    # i32  [B]  stones captured by this move
     ko_created: jax.Array  # bool [B]
+    legal_next: jax.Array  # bool [B, N2+1] next player's legal mask
+    #                        (free by-product of the step's liberty analysis;
+    #                        undefined on illegal rows)
 
 
 def init_core(batch: int, size: int) -> GoCore:
@@ -184,6 +187,54 @@ def _propagate(stones2d: jax.Array, fields, merge):
 _FILLS = (_INF, np.int32(-1), _INF)  # fills for (lib_min, lib_max, lib_min2)
 
 
+def _seg_scan_minmax(lm, lx, color, axis: int, reverse: bool):
+    """Segmented min/max scan within same-color runs along `axis`.
+
+    One scan equalizes each straight chain segment in a single pass — the
+    key to fast fixpoint convergence (iterations ~ number of bends in the
+    snakiest chain instead of its diameter)."""
+    nbr_color = (
+        _shift2(color, axis, +1 if not reverse else -1, np.int8(0))
+    )
+    # segment starts (in scan direction): empty cell or color change
+    flag = (color == EMPTY) | (color != nbr_color)
+
+    def op(a, b):
+        fa, ma, xa = a
+        fb, mb, xb = b
+        return (
+            fa | fb,
+            jnp.where(fb, mb, jnp.minimum(ma, mb)),
+            jnp.where(fb, xb, jnp.maximum(xa, xb)),
+        )
+
+    _, lm, lx = lax.associative_scan(
+        op, (flag, lm, lx), axis=axis, reverse=reverse
+    )
+    return lm, lx
+
+
+def _shift2(x, axis: int, d: int, fill):
+    """out[i] = x[i - d] along axis (fill outside)."""
+    n = x.shape[axis]
+    pad = [(0, 0)] * x.ndim
+    pad[axis] = (1, 1)
+    xp = jnp.pad(x, pad, constant_values=fill)
+    return lax.slice_in_dim(xp, 1 - d, 1 - d + n, axis=axis)
+
+
+def _use_scan_propagation() -> bool:
+    """Backend-dependent fixpoint strategy: segmented row/col scans collapse
+    straight runs per pass (few iterations — much faster on CPU), but
+    19-wide scans along lane-misaligned axes map poorly onto the TPU's
+    (8, 128) vector tiling, where plain neighbor shifts win (measured:
+    155k vs 107k env-steps/s on v5e at B=4096)."""
+    try:
+        return jax.default_backend() == "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
 def analyze_libs(stones2d: jax.Array, size: int):
     """Exact per-stone liberty classes for every chain on the board.
 
@@ -192,6 +243,45 @@ def analyze_libs(stones2d: jax.Array, size: int):
       atari (1 lib)  : lib_min == lib_max != INF
       >=2 libs       : lib_min < lib_max
     """
+    if _use_scan_propagation():
+        return _analyze_libs_scan(stones2d, size)
+    return _analyze_libs_neighbor(stones2d, size)
+
+
+def _analyze_libs_scan(stones2d: jax.Array, size: int):
+    """Fixpoint via alternating row/column segmented scans (each straight
+    same-color run collapses per pass; every chain adjacency lies in a
+    shared row-run or column-run, so scans alone reach the fixpoint)."""
+    lm, lx = _init_lib_fields(stones2d, size)
+    color = stones2d
+
+    def one_round(fs):
+        lm, lx = fs
+        for axis in (1, 2):
+            for reverse in (False, True):
+                lm, lx = _seg_scan_minmax(lm, lx, color, axis, reverse)
+        return lm, lx
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        fs, _ = carry
+        nfs = one_round(fs)
+        changed = jnp.any(
+            jnp.stack([jnp.any(a != b) for a, b in zip(fs, nfs)])
+        )
+        return nfs, changed
+
+    (lm, lx), _ = lax.while_loop(cond, body, ((lm, lx), jnp.bool_(True)))
+    return lm, lx
+
+
+def _analyze_libs_neighbor(stones2d: jax.Array, size: int):
+    """Plain 4-neighbor fixpoint on [B, N, N] (fastest measured variant on
+    TPU: 155k env-steps/s vs 142k for flat-layout rolls and 107k for
+    segmented scans at B=4096 — XLA already lays the 2D arrays out well)."""
     lm, lx = _init_lib_fields(stones2d, size)
 
     def merge(fs, nfs, same):
@@ -349,10 +439,19 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
         hash_lo=new_hash_lo,
         hash_hi=new_hash_hi,
     )
+    # --- next player's legal mask, free-riding on the final analysis ---------
+    # (valid wherever the step advanced or was a pass; undefined on illegal
+    # rows, which legal-sampling callers never produce)
+    legal_next = _legal_from_analysis(
+        s2_2d, lm2, lx2, new_core.to_play, new_core.ko_point,
+        new_core.ko_color, new_core.ko_age, size,
+    )
+
     info = StepInfo(
         illegal=illegal,
         captured=jnp.where(ok_move, ncap, 0),
         ko_created=ok_move & ko_created,
+        legal_next=legal_next,
     )
     return new_core, info
 
@@ -362,22 +461,17 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def legal_moves(core: GoCore, size: int) -> jax.Array:
-    """bool [B, N2 + 1] legal-action mask for `to_play` (pass always legal).
-
-    Matches `FindAllValidMoves` (board.cc:867): empty, not a ko violation,
-    and not suicide.  A point is not suicide iff it has an empty neighbor,
-    or an adjacent friendly chain with >=2 distinct liberties, or an
-    adjacent enemy chain in atari (which it would capture).
-    """
+def _legal_from_analysis(
+    s2d: jax.Array, lm: jax.Array, lx: jax.Array,
+    to_play: jax.Array, ko_point: jax.Array, ko_color: jax.Array,
+    ko_age: jax.Array, size: int,
+) -> jax.Array:
+    """Legality mask given a board and its liberty analysis (shared by
+    `legal_moves` and the step's free-riding `legal_next`)."""
     n2 = size * size
-    B = core.stones.shape[0]
-    s2d = core.stones.reshape(B, size, size)
-    lm, lx = analyze_libs(s2d, size)
-
+    B = s2d.shape[0]
     empty = s2d == EMPTY
-    friendly = s2d == core.to_play[:, None, None]
+    friendly = s2d == to_play[:, None, None]
     enemy = (s2d != EMPTY) & ~friendly
 
     atari = (lm == lx) & (lm != _INF)
@@ -394,14 +488,32 @@ def legal_moves(core: GoCore, size: int) -> jax.Array:
     playable = empty & (has_empty_nbr | has_friend_alive | has_enemy_atari)
 
     flat = playable.reshape(B, n2)
-    ko_active = (core.ko_age == 0) & (core.to_play == core.ko_color)
+    ko_active = (ko_age == 0) & (to_play == ko_color)
     ko_mask = (
         jnp.zeros((B, n2), jnp.bool_)
-        .at[jnp.arange(B), jnp.clip(core.ko_point, 0, n2 - 1)]
-        .set(ko_active & (core.ko_point >= 0))
+        .at[jnp.arange(B), jnp.clip(ko_point, 0, n2 - 1)]
+        .set(ko_active & (ko_point >= 0))
     )
     flat = flat & ~ko_mask
     return jnp.concatenate([flat, jnp.ones((B, 1), jnp.bool_)], axis=1)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def legal_moves(core: GoCore, size: int) -> jax.Array:
+    """bool [B, N2 + 1] legal-action mask for `to_play` (pass always legal).
+
+    Matches `FindAllValidMoves` (board.cc:867): empty, not a ko violation,
+    and not suicide.  A point is not suicide iff it has an empty neighbor,
+    or an adjacent friendly chain with >=2 distinct liberties, or an
+    adjacent enemy chain in atari (which it would capture).
+    """
+    B = core.stones.shape[0]
+    s2d = core.stones.reshape(B, size, size)
+    lm, lx = analyze_libs(s2d, size)
+    return _legal_from_analysis(
+        s2d, lm, lx, core.to_play, core.ko_point, core.ko_color,
+        core.ko_age, size,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -431,21 +543,41 @@ def score_tromp_taylor(core: GoCore, size: int) -> jax.Array:
     s2d = core.stones.reshape(B, size, size)
     empty = s2d == EMPTY
 
+    def seg_or_scan(r, passable, axis, reverse):
+        """Segmented OR within passable runs (reachability along a line)."""
+        nbr = _shift2(passable, axis, +1 if not reverse else -1, False)
+        flag = ~passable | ~nbr  # segment start: blocked cell before us
+
+        def op(a, b):
+            fa, ra = a
+            fb, rb = b
+            return fa | fb, jnp.where(fb, rb, ra | rb)
+
+        _, r = lax.associative_scan(op, (flag, r), axis=axis, reverse=reverse)
+        return r & passable
+
+    use_scan = _use_scan_propagation()
+
     def reach(color):
         src = s2d == color
         passable = empty | src
 
-        def cond(carry):
-            _, changed = carry
-            return changed
-
         def body(carry):
             r, _ = carry
             grown = r
-            for dr, dc in _DIRS:
-                grown = grown | _shift(r, dr, dc, False)
-            grown = grown & passable
+            if use_scan:
+                for axis in (1, 2):
+                    for reverse in (False, True):
+                        grown = seg_or_scan(grown, passable, axis, reverse)
+            else:
+                for dr, dc in _DIRS:
+                    grown = grown | _shift(r, dr, dc, False)
+                grown = grown & passable
             return grown, jnp.any(grown != r)
+
+        def cond(carry):
+            _, changed = carry
+            return changed
 
         r, _ = lax.while_loop(cond, body, (src, jnp.bool_(True)))
         return r

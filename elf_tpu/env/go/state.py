@@ -132,6 +132,7 @@ def step(state: GoState, action: jax.Array, size: int) -> Tuple[GoState, StepInf
         illegal=info.illegal & ~state.terminated,
         captured=jnp.where(state.terminated, 0, info.captured),
         ko_created=info.ko_created & ~state.terminated,
+        legal_next=info.legal_next & ~terminated[:, None],
     )
     return (
         GoState(
@@ -165,7 +166,50 @@ def evaluate(state: GoState, size: int, komi: float = 7.5) -> jax.Array:
     return jnp.where(state.superko, superko_val, tt)
 
 
-def reset_where(state: GoState, mask: jax.Array, size: int) -> GoState:
+def reset_where(state: GoState, mask: jax.Array, size: int,
+                handicap: int = 0) -> GoState:
     """Reset boards where mask is True (vectorized game restart)."""
     fresh = init_state(state.core.stones.shape[0], size)
+    if handicap > 0:
+        fresh = apply_handicap(fresh, handicap, size)
     return _tree_where(mask, fresh, state)
+
+
+# Handicap placements (go_state.cc:33 HandicapTable, darkforestGo table),
+# as GTP coords; entries that fall off small boards are skipped.
+_HANDICAPS = {
+    2: ["D4", "Q16"],
+    3: ["D4", "Q16", "Q4"],
+    4: ["D4", "Q16", "Q4", "D16"],
+    5: ["D4", "Q16", "Q4", "D16", "K10"],
+    6: ["D4", "Q16", "Q4", "D16", "D10", "Q10"],
+    7: ["D4", "Q16", "Q4", "D16", "D10", "Q10", "K10"],
+    8: ["D4", "Q16", "Q4", "D16", "D10", "Q10", "K16", "K4"],
+    9: ["D4", "Q16", "Q4", "D16", "D10", "Q10", "K16", "K4", "K10"],
+}
+
+
+def apply_handicap(state: GoState, handicap: int, size: int) -> GoState:
+    """Place handicap stones as black plays, then restore a fresh-game
+    state with white to move (board.cc:109 PlaceHandicap: stones played,
+    ply reset to the initial value)."""
+    from elf_tpu.env.go.coords import gtp_to_flat
+
+    coords = _HANDICAPS.get(handicap, [])
+    B = state.core.stones.shape[0]
+    core = state.core
+    for gtp in coords:
+        try:
+            p = gtp_to_flat(gtp, size)
+        except ValueError:
+            continue  # off-board on small sizes
+        core = core._replace(to_play=jnp.full((B,), engine.BLACK, jnp.int8))
+        core, _ = engine.step_core(core, jnp.full((B,), p, jnp.int32), size)
+    core = core._replace(
+        to_play=jnp.full((B,), WHITE if coords else BLACK, jnp.int8),
+        ply=jnp.zeros((B,), jnp.int32),
+        passes=jnp.zeros((B,), jnp.int32),
+        last_move=jnp.full((B,), -1, jnp.int32),
+        ko_age=jnp.full((B,), 10_000, jnp.int32),
+    )
+    return state._replace(core=core)

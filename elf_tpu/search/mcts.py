@@ -70,6 +70,9 @@ class MCTSConfig:
     ply_pass_enabled: int = 0
     remove_pass_if_dangerous: bool = True
     rotation_flip: bool = True  # random D4 symmetry per NN evaluation
+    # action ranking: most_visited | prior | uniform_random
+    # (tree_search_base.h:213 MCTSResultT RankCriterion)
+    pick_method: str = "most_visited"
 
     @property
     def num_nodes(self) -> int:
@@ -98,6 +101,8 @@ class Tree(NamedTuple):
     expanded: jax.Array     # bool [B, N]
     terminal: jax.Array     # bool [B, N]
     value: jax.Array        # f32 [B, N]      NN/terminal value (black persp.)
+    legal: jax.Array        # bool [B, N, A]  node's legal mask (stored at
+    #                         expansion, free-riding on step_core's analysis)
     count: jax.Array        # i32 [B]         allocated nodes
 
 
@@ -108,8 +113,10 @@ class MCTSResult(NamedTuple):
     root_q: jax.Array        # f32 [B]    visit-weighted root Q (black persp.)
 
 
-# eval_fn(features [M, N, N, C]) -> (log_pi [M, A], value [M])
-EvalFn = Callable[[jax.Array], Tuple[jax.Array, jax.Array]]
+# eval_fn(features [M, N, N, C], to_play [M]) -> (log_pi [M, A], value [M])
+# (to_play lets two-model evaluators route each leaf to the mover's net,
+# the eval-game path: ctrl_eval.h candidate-vs-baseline with player_swap)
+EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
 def _init_tree(B: int, size: int, cfg: MCTSConfig) -> Tree:
@@ -137,6 +144,7 @@ def _init_tree(B: int, size: int, cfg: MCTSConfig) -> Tree:
         expanded=jnp.zeros((B, N), jnp.bool_),
         terminal=jnp.zeros((B, N), jnp.bool_),
         value=zf32(B, N),
+        legal=jnp.zeros((B, N, A), jnp.bool_),
         count=jnp.ones((B,), jnp.int32),  # root pre-allocated
     )
 
@@ -261,12 +269,20 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int):
     exp_a = enc % A
 
     core = _core_at(tree, rows, exp_node, size)
-    child_core, _ = engine.step_core(core, exp_a, size)
+    child_core, step_info = engine.step_core(core, exp_a, size)
     new_id = jnp.where(need_expand, tree.count, 0)
     new_id = jnp.clip(new_id, 0, tree.stones.shape[1] - 1)
 
     tree = _write_core(tree, new_id, child_core, need_expand)
     term = engine.is_terminal_core(child_core, size)
+    tree = tree._replace(
+        legal=tree.legal.at[rows, new_id].set(
+            jnp.where(
+                need_expand[:, None], step_info.legal_next,
+                tree.legal[rows, new_id],
+            )
+        ),
+    )
     tree = tree._replace(
         parent=tree.parent.at[rows, new_id].set(
             jnp.where(need_expand, exp_node, tree.parent[rows, new_id])
@@ -331,12 +347,14 @@ def _evaluate_states(
     is_term: jax.Array,
     snaps: jax.Array,
     valid: jax.Array,
+    legal: jax.Array,
     eval_fn: EvalFn,
     rng: jax.Array,
     cfg: MCTSConfig,
     size: int,
 ):
-    """Evaluate K gathered states: (prior [K, A], value [K] black persp.)."""
+    """Evaluate K gathered states: (prior [K, A], value [K] black persp.).
+    `legal` [K, A] comes from the tree (stored at expansion)."""
     K = core.stones.shape[0]
     n2 = size * size
 
@@ -346,11 +364,9 @@ def _evaluate_states(
         else jnp.zeros((K,), jnp.int32)
     )
     feats = extract_agz_from_snapshots(snaps, valid, core.to_play, codes, size)
-    log_pi, value = eval_fn(feats)
+    log_pi, value = eval_fn(feats, core.to_play)
     pi = jnp.exp(log_pi)
     pi = inv_transform_policy(pi, codes, size)
-
-    legal = engine.legal_moves(core, size)
 
     # pass gating (mcts.h post_nn_result + remove_pass_if_dangerous)
     score = engine.score_tromp_taylor(core, size).astype(jnp.float32) - cfg.komi
@@ -428,13 +444,15 @@ def run_mcts(
     tree = tree._replace(terminal=tree.terminal.at[:, 0].set(root_terminal))
 
     # root evaluation + Dirichlet noise
-    rng, k_eval, k_noise = jax.random.split(rng, 3)
+    rng, k_eval, k_noise, k_pick = jax.random.split(rng, 4)
     root_ids = jnp.zeros((B,), jnp.int32)
+    root_legal = engine.legal_moves(root_core, size)
+    tree = tree._replace(legal=tree.legal.at[:, 0].set(root_legal))
     snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
                                    root_hist_len, size)
     prior, value = _evaluate_states(
         _core_at(tree, rows, root_ids, size), root_terminal,
-        snaps, valid, eval_fn, k_eval, cfg, size,
+        snaps, valid, root_legal, eval_fn, k_eval, cfg, size,
     )
     if cfg.root_epsilon > 0:
         legal = prior >= 0
@@ -471,8 +489,10 @@ def run_mcts(
         flat_term = tree.terminal[flat_rows, safe]
         snaps, valid = _leaf_snapshots(tree, flat_rows, safe, root_hist,
                                        root_hist_len, size)
+        flat_legal = tree.legal[flat_rows, safe]
         priors, values = _evaluate_states(
-            flat_core, flat_term, snaps, valid, eval_fn, k, cfg, size
+            flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
+            cfg, size
         )
         priors = priors.reshape(m, B, A)
         values = values.reshape(m, B)
@@ -507,9 +527,17 @@ def run_mcts(
     legal_root = tree.prior[:, 0] >= 0
     visits = jnp.where(legal_root, visits, 0.0)
     mcts_policy = visits / jnp.maximum(visits.sum(axis=1, keepdims=True), 1e-10)
-    best = jnp.argmax(
-        visits + 1e-6 * jnp.maximum(tree.prior[:, 0], 0.0), axis=1
-    ).astype(jnp.int32)
+    if cfg.pick_method == "prior":
+        best = jnp.argmax(
+            jnp.where(legal_root, tree.prior[:, 0], -1.0), axis=1
+        ).astype(jnp.int32)
+    elif cfg.pick_method == "uniform_random":
+        logits = jnp.where(legal_root, 0.0, -1e9)
+        best = jax.random.categorical(k_pick, logits, axis=1).astype(jnp.int32)
+    else:  # most_visited
+        best = jnp.argmax(
+            visits + 1e-6 * jnp.maximum(tree.prior[:, 0], 0.0), axis=1
+        ).astype(jnp.int32)
     w_root = tree.w_edge[:, 0]
     root_q = jnp.sum(w_root, axis=1) / jnp.maximum(jnp.sum(visits, axis=1), 1.0)
     return (

@@ -52,6 +52,33 @@ class ActorConfig:
     resign_thres: float = 0.05
     never_resign_prob: float = 0.1
     cheat_selfplay_random_result: bool = False
+    dump_record_prefix: str = ""   # write an SGF per finished game
+    handicap: int = 0
+
+
+def make_pair_eval_builder(eval_raw):
+    """Two-model evaluator for eval games (candidate vs baseline,
+    ctrl_eval.h): params/batch_stats are (black_model, white_model) pairs;
+    each MCTS leaf is routed to the mover's net.  Lockstep-friendly at 2x
+    NN cost (the reference dedicates whole client processes instead)."""
+    from elf_tpu.env.go.engine import BLACK as _BLACK
+
+    def builder(params, batch_stats):
+        p_black, p_white = params
+        b_black, b_white = batch_stats
+
+        def eval_fn(feats, to_play):
+            lp_b, v_b = eval_raw(p_black, b_black, feats)
+            lp_w, v_w = eval_raw(p_white, b_white, feats)
+            is_black = to_play == _BLACK
+            return (
+                jnp.where(is_black[:, None], lp_b, lp_w),
+                jnp.where(is_black, v_b, v_w),
+            )
+
+        return eval_fn
+
+    return builder
 
 
 class MoveOutput(NamedTuple):
@@ -87,6 +114,10 @@ class SelfplayActor:
 
         B = cfg.batch
         self.state = init_state(B, self.size)
+        if cfg.handicap:
+            from elf_tpu.env.go.state import apply_handicap
+
+            self.state = apply_handicap(self.state, cfg.handicap, self.size)
         # dynamic per-request controls (ClientCtrl): mutable at runtime
         self.resign_thres = cfg.resign_thres
         self.never_resign_prob = cfg.never_resign_prob
@@ -96,6 +127,12 @@ class SelfplayActor:
         self.values: List[List[float]] = [[] for _ in range(B)]
         self.seqs = np.zeros(B, np.int64)
         self.completed_games = 0
+        # optional reward override (cheat_eval_new_model_wins_half,
+        # game_selfplay.cc:121 finish_game cheat paths)
+        self.reward_override_fn = None
+        # model versions used per board (async mode, record.h using_models)
+        self.using_models: List[List[int]] = [[] for _ in range(B)]
+        self._dump_count = 0
 
     # ------------------------------------------------------------------ jit
 
@@ -104,14 +141,40 @@ class SelfplayActor:
         cfg = self.cfg
         mcfg = self.mcts_cfg
 
+        def policy_only(state: GoState, eval_fn, key):
+            """actPolicyOnly (mcts.h:59 region): raw net policy, no search."""
+            from elf_tpu.env.go import features as gofeat
+            from elf_tpu.search.mcts import MCTSResult
+
+            B = state.core.stones.shape[0]
+            codes = (
+                jax.random.randint(key, (B,), 0, 8)
+                if mcfg.rotation_flip
+                else jnp.zeros((B,), jnp.int32)
+            )
+            feats = gofeat.extract_agz(state, codes, size)
+            log_pi, value = eval_fn(feats, state.core.to_play)
+            pi = gofeat.inv_transform_policy(jnp.exp(log_pi), codes, size)
+            lm = gostate.legal_moves(state, size)
+            pi = jnp.where(lm, pi, 0.0)
+            pi = pi / jnp.maximum(pi.sum(axis=1, keepdims=True), 1e-10)
+            best = jnp.argmax(pi, axis=1).astype(jnp.int32)
+            return MCTSResult(
+                mcts_policy=pi, best_action=best,
+                root_value=value, root_q=value,
+            )
+
         def move_fn(state: GoState, params, batch_stats, key, never_resign,
                     resign_thres):
             eval_fn = self.eval_fn_builder(params, batch_stats)
             k_mcts, k_sample = jax.random.split(key)
-            res, _tree = run_mcts(
-                state.core, state.stone_hist, state.hist_len,
-                eval_fn, k_mcts, mcfg, size,
-            )
+            if mcfg.num_rollouts <= 0:
+                res = policy_only(state, eval_fn, k_mcts)
+            else:
+                res, _tree = run_mcts(
+                    state.core, state.stone_hist, state.hist_len,
+                    eval_fn, k_mcts, mcfg, size,
+                )
             # diverse move below the cutoff ply (game_selfplay.cc:80)
             diverse = state.core.ply <= cfg.policy_distri_cutoff
             logits = jnp.where(res.mcts_policy > 0, jnp.log(
@@ -189,17 +252,21 @@ class SelfplayActor:
                     reward = float(np.sign(score[b])) or 1.0
                     if cfg.cheat_selfplay_random_result:
                         reward = float(self.rng.choice([-1.0, 1.0]))
+                    if self.reward_override_fn is not None:
+                        reward = float(self.reward_override_fn(b))
                     records.append(self._emit(b, reward, request))
                     finished[b] = True
 
             self.state = new_state
             if finished.any():
                 mask = jnp.asarray(finished)
-                self.state = reset_where(self.state, mask, self.size)
+                self.state = reset_where(self.state, mask, self.size,
+                                         handicap=cfg.handicap)
                 for b in np.nonzero(finished)[0]:
                     self.moves[b] = []
                     self.policies[b] = []
                     self.values[b] = []
+                    self.using_models[b] = []
                     self.never_resign = self.never_resign.copy()
                     self.never_resign[b] = (
                         self.rng.rand() < self.never_resign_prob
@@ -208,7 +275,52 @@ class SelfplayActor:
                 self.completed_games += int(finished.sum())
         return records
 
+    def reset_all(self) -> None:
+        """Restart every game (sync-mode model change: the reference
+        ThreadedDispatcher restart path, game_selfplay.cc:222 OnReceive)."""
+        B = self.cfg.batch
+        self.state = init_state(B, self.size)
+        if self.cfg.handicap:
+            from elf_tpu.env.go.state import apply_handicap
+
+            self.state = apply_handicap(self.state, self.cfg.handicap, self.size)
+        for b in range(B):
+            if self.moves[b]:
+                self.seqs[b] += 1
+            self.moves[b] = []
+            self.policies[b] = []
+            self.values[b] = []
+            self.using_models[b] = []
+            self.never_resign[b] = self.rng.rand() < self.never_resign_prob
+
+    def note_model_version(self, ver: int) -> None:
+        """Track the model version for in-flight games (async mode:
+        setAsync -> addCurrentModel, game_selfplay.cc:151)."""
+        for b in range(self.cfg.batch):
+            if not self.using_models[b] or self.using_models[b][-1] != ver:
+                self.using_models[b].append(ver)
+
+    def _maybe_dump_sgf(self, b: int, reward: float) -> None:
+        if not self.cfg.dump_record_prefix:
+            return
+        from elf_tpu.sgf.sgf import game_from_moves, serialize_sgf
+
+        result = f"B+{abs(reward)}" if reward > 0 else f"W+{abs(reward)}"
+        game = game_from_moves(self.moves[b], self.size, komi=self.cfg.komi,
+                               result=result)
+        self._dump_count += 1
+        path = (
+            f"{self.cfg.dump_record_prefix}-{b}-{self.seqs[b]}-"
+            f"{self._dump_count}.sgf"
+        )
+        try:
+            with open(path, "w") as f:
+                f.write(serialize_sgf(game))
+        except OSError:
+            pass
+
     def _emit(self, b: int, reward: float, request: Optional[MsgRequest]) -> Record:
+        self._maybe_dump_sgf(b, reward)
         return make_record(
             self.moves[b],
             reward,
@@ -219,4 +331,5 @@ class SelfplayActor:
             thread_id=b,
             seq=int(self.seqs[b]),
             never_resign=bool(self.never_resign[b]),
+            using_models=list(self.using_models[b]),
         )

@@ -245,6 +245,7 @@ def make_record(
     thread_id: int = 0,
     seq: int = 0,
     never_resign: bool = False,
+    using_models=None,
 ) -> Record:
     from elf_tpu.env.go.coords import moves_to_sgf_string
 
@@ -258,6 +259,7 @@ def make_record(
             num_move=len(moves),
             black_never_resign=never_resign,
             white_never_resign=never_resign,
+            using_models=list(using_models or []),
         ),
         timestamp=time.time(),
         thread_id=thread_id,

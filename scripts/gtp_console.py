@@ -49,7 +49,7 @@ def main(argv=None):
     eval_raw = trainer.make_eval_fn()
 
     def eval_builder(params, batch_stats):
-        return lambda feats: eval_raw(params, batch_stats, feats)
+        return lambda feats, to_play: eval_raw(params, batch_stats, feats)
 
     # play settings (README.rst:147): no root noise, play-strength puct
     mcfg = MCTSConfig(

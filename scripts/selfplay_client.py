@@ -64,7 +64,7 @@ def main(argv=None):
     eval_raw = trainer.make_eval_fn()
 
     def eval_builder(params, batch_stats):
-        return lambda feats: eval_raw(params, batch_stats, feats)
+        return lambda feats, to_play: eval_raw(params, batch_stats, feats)
 
     acfg = ActorConfig(
         board_size=g.board_size,
@@ -74,6 +74,8 @@ def main(argv=None):
         resign_thres=co.resign_thres,
         never_resign_prob=co.never_resign_prob,
         cheat_selfplay_random_result=g.cheat_selfplay_random_result,
+        dump_record_prefix=g.dump_record_prefix,
+        handicap=g.handicap_level,
     )
     mcfg = MCTSConfig(
         num_rollouts=mo.num_rollouts,

@@ -13,7 +13,7 @@ from elf_tpu.selfplay.records import Records, dequantize_policy
 
 def uniform_eval_builder(num_actions):
     def builder(params, batch_stats):
-        def eval_fn(feats):
+        def eval_fn(feats, to_play):
             K = feats.shape[0]
             return (
                 jnp.full((K, num_actions), -np.log(num_actions)),

@@ -150,7 +150,7 @@ class TestEndToEnd:
                               root_alpha=0.5)
 
             def eval_builder(params, batch_stats):
-                def eval_fn(feats):
+                def eval_fn(feats, to_play):
                     K = feats.shape[0]
                     return (
                         jnp.full((K, 26), -np.log(26.0)), jnp.zeros((K,))

@@ -50,7 +50,7 @@ def test_full_actor_learner_loop():
             runner.episode_summary()  # write save-0.bin
 
             def eval_builder(params, batch_stats):
-                return lambda feats: eval_raw(params, batch_stats, feats)
+                return lambda feats, to_play: eval_raw(params, batch_stats, feats)
 
             acfg = ActorConfig(
                 board_size=size, batch=2, policy_distri_cutoff=50,

@@ -11,7 +11,7 @@ from elf_tpu.search.mcts import MCTSConfig
 
 
 def uniform_builder(params, batch_stats):
-    def eval_fn(feats):
+    def eval_fn(feats, to_play):
         K = feats.shape[0]
         A = feats.shape[1] * feats.shape[2] + 1
         return jnp.full((K, A), -np.log(A)), jnp.zeros((K,))

@@ -13,7 +13,7 @@ from elf_tpu.env.go.state import MAX_AGZ_HISTORY
 
 
 def uniform_eval(num_actions):
-    def eval_fn(feats):
+    def eval_fn(feats, to_play):
         K = feats.shape[0]
         log_pi = jnp.full((K, num_actions), -np.log(num_actions))
         value = jnp.zeros((K,))
@@ -96,7 +96,7 @@ class TestMCTS:
         core = core_from_oracle(o)
         capture_move = 2  # (0,2) captures the 4-stone white block
 
-        def eval_fn(feats):
+        def eval_fn(feats, to_play):
             K = feats.shape[0]
             log_pi = jnp.full((K, 26), -np.log(26.0))
             return log_pi, jnp.zeros((K,))
