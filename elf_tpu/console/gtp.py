@@ -33,7 +33,8 @@ class GtpEngine:
     """Single-game engine state + MCTS move generation."""
 
     def __init__(self, eval_fn_builder, mcts_cfg: MCTSConfig,
-                 size: int = 19, komi: float = 7.5, seed: int = 0):
+                 size: int = 19, komi: float = 7.5, seed: int = 0,
+                 persistent_tree: bool = True):
         self.eval_fn_builder = eval_fn_builder
         self.mcts_cfg = mcts_cfg
         self.komi = komi
@@ -41,6 +42,10 @@ class GtpEngine:
         self.batch_stats = None
         self.key = jax.random.PRNGKey(seed)
         self._searches = {}
+        # tree reuse across genmove/play (treeAdvance): big win at GTP
+        # rollout counts since the played line's subtree carries over
+        self.persistent_tree = persistent_tree
+        self.tree = None
         self.reset(size)
 
     def set_model(self, params, batch_stats) -> None:
@@ -52,6 +57,19 @@ class GtpEngine:
             self.size = size
         self.state = init_state(1, self.size)
         self.history: List = [self.state]
+        self.tree = None
+
+    def _advance(self, action: int) -> None:
+        """Carry the search tree across the played move."""
+        if not self.persistent_tree or self.tree is None:
+            self.tree = None
+            return
+        from elf_tpu.search.mcts import advance_tree
+
+        self.tree = advance_tree(
+            self.tree, jnp.asarray([action], jnp.int32), self.state.core,
+            self.size, self.tree.stones.shape[1],
+        )
 
     def _search_fn(self):
         key = (self.size,)
@@ -61,10 +79,11 @@ class GtpEngine:
             cfg = self.mcts_cfg
             eval_fn = self.eval_fn_builder
 
-            def fn(core, hist, hlen, params, batch_stats, rng):
+            def fn(core, hist, hlen, params, batch_stats, rng, tree_in):
                 return run_mcts(
                     core, hist, hlen,
                     eval_fn(params, batch_stats), rng, cfg, self.size,
+                    init_tree=tree_in,
                 )
 
             self._searches[key] = jax.jit(fn)
@@ -88,6 +107,7 @@ class GtpEngine:
         if bool(np.asarray(info.illegal)[0]):
             return False
         self.history.append(self.state)
+        self._advance(a)
         return True
 
     def genmove(self, color: str) -> str:
@@ -102,10 +122,16 @@ class GtpEngine:
         if bool(np.asarray(self.state.terminated)[0]):
             return "pass"
         self.key, k = jax.random.split(self.key)
-        res, _ = self._search_fn()(
+        if self.tree is None:
+            from elf_tpu.search.mcts import fresh_tree
+
+            cap = 2 * self.mcts_cfg.num_rollouts + 2
+            self.tree = fresh_tree(1, self.size, max(cap, 3), self.state.core)
+        res, tree = self._search_fn()(
             self.state.core, self.state.stone_hist, self.state.hist_len,
-            self.params, self.batch_stats, k,
+            self.params, self.batch_stats, k, self.tree,
         )
+        self.tree = tree
         a = int(np.asarray(res.best_action)[0])
         v = float(np.asarray(res.root_q)[0])
         mover_v = v if want == BLACK else -v
@@ -113,6 +139,7 @@ class GtpEngine:
             return "resign"
         self.state, _ = step(self.state, np.array([a]), self.size)
         self.history.append(self.state)
+        self._advance(a)
         return flat_to_gtp(a, self.size)
 
     def undo(self) -> bool:
@@ -120,6 +147,7 @@ class GtpEngine:
             return False
         self.history.pop()
         self.state = self.history[-1]
+        self.tree = None  # tree no longer matches the position
         return True
 
     def final_score(self) -> str:

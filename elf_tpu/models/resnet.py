@@ -3,8 +3,8 @@
 
 Architecture parity (df_model3.py:288-306):
   input  [B, N, N, C]  (NHWC — TPU conv layout)
-  trunk  3x3 conv -> BN -> ReLU, then `num_block` residual blocks of
-         (conv-BN-ReLU, conv-BN) + skip, ReLU
+  trunk  3x3 conv(+bias) -> BN -> ReLU, then `num_block` residual blocks of
+         (conv-BN-ReLU, conv-BN-ReLU) + skip, ReLU (see ResBlock docstring)
   policy 1x1 conv -> 2 ch -> BN -> ReLU -> dense (N*N+1) -> log_softmax
   value  1x1 conv -> 1 ch -> BN -> ReLU -> dense 256 -> ReLU -> dense 1 -> tanh
 
@@ -47,25 +47,41 @@ class ModelConfig:
 
     @property
     def flax_bn_momentum(self) -> float:
-        return 1.0 - self.bn_momentum
+        """torch->flax momentum conversion with the reference's quirk:
+        df_model3.py passes `momentum=(bn_momentum or None)`, so 0.0 falls
+        back to torch's default 0.1 (None actually means cumulative moving
+        average; 0.1 is the close stationary equivalent).  A literal 0.0
+        would freeze running stats at init — inference would then normalize
+        with untrained statistics (a bug surfaced by the 9x9 learning demo:
+        the trained net lost to its random init until this fix)."""
+        m = self.bn_momentum if self.bn_momentum > 0 else 0.1
+        return 1.0 - m
 
 
 class ResBlock(nn.Module):
+    """Residual block with the reference's exact op order (df_model3.py:81
+    Block.forward): conv-BN-ReLU, conv-BN-ReLU, + skip, ReLU — note the
+    second ReLU fires BEFORE the skip-add (the reference's `conv_upper`
+    Sequential includes its ReLU), unlike the AGZ paper ordering.  Convs
+    carry biases (nn.Conv2d default).  Both kept for checkpoint
+    import compatibility (tools/import_torch.py)."""
+
     dim: int
     momentum: float
     dtype: Any
 
     @nn.compact
     def __call__(self, x, train: bool):
-        y = nn.Conv(self.dim, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.dim, (3, 3), padding="SAME", use_bias=True,
                     dtype=self.dtype, name="conv1")(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=self.momentum,
                          dtype=jnp.float32, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.dim, (3, 3), padding="SAME", use_bias=False,
+        y = nn.Conv(self.dim, (3, 3), padding="SAME", use_bias=True,
                     dtype=self.dtype, name="conv2")(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=self.momentum,
                          dtype=jnp.float32, name="bn2")(y)
+        y = nn.relu(y)
         return nn.relu(x + y.astype(x.dtype))
 
 
@@ -80,7 +96,7 @@ class PolicyValueNet(nn.Module):
         m = cfg.flax_bn_momentum
         x = x.astype(dtype)
 
-        h = nn.Conv(cfg.dim, (3, 3), padding="SAME", use_bias=False,
+        h = nn.Conv(cfg.dim, (3, 3), padding="SAME", use_bias=True,
                     dtype=dtype, name="init_conv")(x)
         h = nn.BatchNorm(use_running_average=not train, momentum=m,
                          dtype=jnp.float32, name="init_bn")(h)
@@ -90,7 +106,7 @@ class PolicyValueNet(nn.Module):
             h = ResBlock(cfg.dim, m, dtype, name=f"block{i}")(h, train)
 
         # policy head (df_model3.py:288: 1x1 conv to 2 ch -> linear)
-        p = nn.Conv(2, (1, 1), use_bias=False, dtype=dtype, name="pi_conv")(h)
+        p = nn.Conv(2, (1, 1), use_bias=True, dtype=dtype, name="pi_conv")(h)
         p = nn.BatchNorm(use_running_average=not train, momentum=m,
                          dtype=jnp.float32, name="pi_bn")(p)
         p = nn.relu(p)
@@ -101,7 +117,7 @@ class PolicyValueNet(nn.Module):
         log_pi = jax.nn.log_softmax(logits, axis=-1)
 
         # value head (df_model3.py:295: 1x1 conv to 1 ch -> 256 -> 1 -> tanh)
-        v = nn.Conv(1, (1, 1), use_bias=False, dtype=dtype, name="v_conv")(h)
+        v = nn.Conv(1, (1, 1), use_bias=True, dtype=dtype, name="v_conv")(h)
         v = nn.BatchNorm(use_running_average=not train, momentum=m,
                          dtype=jnp.float32, name="v_bn")(v)
         v = nn.relu(v)

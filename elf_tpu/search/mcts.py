@@ -41,9 +41,10 @@ in-search repetitions.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, NamedTuple, Tuple
+from typing import Callable, NamedTuple, Optional, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
@@ -120,9 +121,12 @@ EvalFn = Callable[[jax.Array, jax.Array], Tuple[jax.Array, jax.Array]]
 
 
 def _init_tree(B: int, size: int, cfg: MCTSConfig) -> Tree:
+    return _make_tree(B, size, cfg.num_nodes)
+
+
+def _make_tree(B: int, size: int, N: int) -> Tree:
     n2 = size * size
     A = n2 + 1
-    N = cfg.num_nodes
     zi8 = lambda *s: jnp.zeros(s, jnp.int8)
     zi32 = lambda *s: jnp.zeros(s, jnp.int32)
     zf32 = lambda *s: jnp.zeros(s, jnp.float32)
@@ -263,8 +267,11 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int):
     leaf = jnp.where(~done, cur, leaf)
 
     # --- expansion: decode (node, action), step env, allocate --------------
-    need_expand = leaf < -1
-    enc = jnp.where(need_expand, -(leaf + 2), 0)
+    # (capacity guard: a full tree re-evaluates the frontier node instead
+    # of allocating — only reachable with reused trees)
+    need_expand = (leaf < -1) & (tree.count < tree.stones.shape[1])
+    frontier = (leaf < -1) & ~need_expand
+    enc = jnp.where(leaf < -1, -(leaf + 2), 0)
     exp_node = enc // A
     exp_a = enc % A
 
@@ -299,6 +306,8 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int):
         count=tree.count + need_expand.astype(jnp.int32),
     )
     leaf = jnp.where(need_expand, new_id, leaf)
+    # full tree: fall back to re-evaluating the node whose edge we hit
+    leaf = jnp.where(frontier, exp_node, leaf)
     return tree, leaf
 
 
@@ -423,6 +432,135 @@ def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
     return tree
 
 
+def fresh_tree(B: int, size: int, capacity: int, root_core: GoCore) -> Tree:
+    """An empty tree (unexpanded root = root_core) at the given capacity —
+    the starting point for persistent-tree actors."""
+    tree = _make_tree(B, size, capacity)
+    tree = _write_core(tree, jnp.zeros((B,), jnp.int32), root_core,
+                       jnp.ones((B,), jnp.bool_))
+    return tree._replace(
+        terminal=tree.terminal.at[:, 0].set(
+            engine.is_terminal_core(root_core, size)
+        )
+    )
+
+
+def reset_tree_where(tree: Tree, mask: jax.Array, root_core: GoCore) -> Tree:
+    """Invalidate trees for boards where mask is True (game restarted):
+    their root becomes the given core with no children/stats."""
+    B = mask.shape[0]
+    size = int(np.sqrt(tree.stones.shape[2]))
+    fresh = fresh_tree(B, size, tree.stones.shape[1], root_core)
+
+    def sel(a, b):
+        c = mask.reshape((B,) + (1,) * (a.ndim - 1))
+        return jnp.where(c, a, b)
+
+    return jax.tree.map(sel, fresh, tree)
+
+
+def advance_tree(
+    tree: Tree,
+    actions: jax.Array,        # i32 [B] the move played from each root
+    new_root_core: GoCore,     # the stepped env state (authoritative)
+    size: int,
+    capacity: int,
+) -> Tree:
+    """Re-root each tree at the played move's child, keeping subtree stats
+    (tree_search_node.h:420 `treeAdvance`): nodes outside the subtree are
+    dropped, indices compacted (allocation order keeps parents before
+    children, so the new root compacts to node 0).  Boards whose action had
+    no visited child get a fresh single-node tree."""
+    B, N = tree.stones.shape[:2]
+    A = tree.prior.shape[2]
+    rows = jnp.arange(B)
+    a = jnp.clip(actions, 0, A - 1)
+
+    new_root = tree.child[rows, 0, a]
+    has = new_root >= 0
+    nr = jnp.clip(new_root, 0, N - 1)
+
+    idx = jnp.broadcast_to(jnp.arange(N)[None, :], (B, N))
+    alloc = idx < tree.count[:, None]
+    member0 = (idx == nr[:, None]) & has[:, None] & alloc
+    parent_safe = jnp.clip(tree.parent, 0, N - 1)
+    has_parent = tree.parent >= 0
+
+    def cond(carry):
+        _, changed = carry
+        return changed
+
+    def body(carry):
+        member, _ = carry
+        from_parent = (
+            jnp.take_along_axis(member, parent_safe, axis=1) & has_parent & alloc
+        )
+        newm = member | from_parent
+        return newm, jnp.any(newm != member)
+
+    member, _ = lax.while_loop(cond, body, (member0, jnp.bool_(True)))
+
+    new_id = jnp.cumsum(member.astype(jnp.int32), axis=1) - 1  # valid on members
+    dump = capacity  # scatter dump slot
+
+    def scatter(arr, fill):
+        pos = jnp.where(member, new_id, dump)
+        out = jnp.full((B, capacity + 1) + arr.shape[2:], fill, arr.dtype)
+        if arr.ndim == 2:
+            out = out.at[rows[:, None], pos].set(arr)
+        else:
+            out = out.at[rows[:, None], pos].set(arr)
+        return out[:, :capacity]
+
+    # remap node-id-valued arrays before scattering
+    child_safe = jnp.clip(tree.child, 0, N - 1)
+    child_member = member[rows[:, None, None], child_safe] & (tree.child >= 0)
+    child_remap = jnp.where(
+        child_member, new_id[rows[:, None, None], child_safe], -1
+    )
+    parent_member = (
+        jnp.take_along_axis(member, parent_safe, axis=1) & has_parent
+    )
+    parent_remap = jnp.where(
+        parent_member, jnp.take_along_axis(new_id, parent_safe, axis=1), -1
+    )
+
+    new_tree = Tree(
+        stones=scatter(tree.stones, np.int8(0)),
+        to_play=scatter(tree.to_play, np.int8(0)),
+        ko_point=scatter(tree.ko_point, np.int32(-1)),
+        ko_color=scatter(tree.ko_color, np.int8(0)),
+        ko_age=scatter(tree.ko_age, np.int32(10_000)),
+        ply=scatter(tree.ply, np.int32(0)),
+        passes=scatter(tree.passes, np.int32(0)),
+        prior=scatter(tree.prior, np.float32(-1.0)),
+        n_edge=scatter(tree.n_edge, np.int32(0)),
+        w_edge=scatter(tree.w_edge, np.float32(0.0)),
+        vl_edge=scatter(tree.vl_edge, np.int32(0)),
+        child=scatter(child_remap, np.int32(-1)),
+        parent=scatter(parent_remap, np.int32(-1)),
+        parent_a=scatter(tree.parent_a, np.int32(-1)),
+        expanded=scatter(tree.expanded, False),
+        terminal=scatter(tree.terminal, False),
+        value=scatter(tree.value, np.float32(0.0)),
+        legal=scatter(tree.legal, False),
+        count=jnp.maximum(member.sum(axis=1).astype(jnp.int32), 1),
+    )
+    # the new root (node 0): authoritative env core; detach from old parent
+    new_tree = _write_core(
+        new_tree, jnp.zeros((B,), jnp.int32), new_root_core,
+        jnp.ones((B,), jnp.bool_),
+    )
+    new_tree = new_tree._replace(
+        parent=new_tree.parent.at[:, 0].set(-1),
+        parent_a=new_tree.parent_a.at[:, 0].set(-1),
+        terminal=new_tree.terminal.at[:, 0].set(
+            engine.is_terminal_core(new_root_core, size)
+        ),
+    )
+    return new_tree
+
+
 def run_mcts(
     root_core: GoCore,
     root_hist: jax.Array,       # i8 [B, 8, n2] game snapshots (oldest first)
@@ -431,36 +569,52 @@ def run_mcts(
     rng: jax.Array,
     cfg: MCTSConfig,
     size: int,
+    init_tree: Optional[Tree] = None,
 ) -> Tuple[MCTSResult, Tree]:
-    """Run cfg.num_rollouts simulations for B boards in lockstep."""
+    """Run cfg.num_rollouts simulations for B boards in lockstep.
+
+    `init_tree`: a tree re-rooted by `advance_tree` — reused subtree stats
+    carry over; fresh Dirichlet noise is re-mixed into the (reused) root
+    prior each move, as the reference re-noises each search."""
     B = root_core.stones.shape[0]
     rows = jnp.arange(B)
     A = size * size + 1
 
-    tree = _init_tree(B, size, cfg)
-    tree = _write_core(tree, jnp.zeros((B,), jnp.int32), root_core,
-                       jnp.ones((B,), jnp.bool_))
-    root_terminal = engine.is_terminal_core(root_core, size)
-    tree = tree._replace(terminal=tree.terminal.at[:, 0].set(root_terminal))
+    if init_tree is None:
+        tree = _init_tree(B, size, cfg)
+        tree = _write_core(tree, jnp.zeros((B,), jnp.int32), root_core,
+                           jnp.ones((B,), jnp.bool_))
+        tree = tree._replace(
+            terminal=tree.terminal.at[:, 0].set(
+                engine.is_terminal_core(root_core, size)
+            )
+        )
+    else:
+        tree = init_tree
+    root_terminal = tree.terminal[:, 0]
+    root_fresh = ~tree.expanded[:, 0]
 
-    # root evaluation + Dirichlet noise
+    # root evaluation (fresh roots) + Dirichlet noise (all roots)
     rng, k_eval, k_noise, k_pick = jax.random.split(rng, 4)
     root_ids = jnp.zeros((B,), jnp.int32)
     root_legal = engine.legal_moves(root_core, size)
     tree = tree._replace(legal=tree.legal.at[:, 0].set(root_legal))
     snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
                                    root_hist_len, size)
-    prior, value = _evaluate_states(
+    prior_eval, value_eval = _evaluate_states(
         _core_at(tree, rows, root_ids, size), root_terminal,
         snaps, valid, root_legal, eval_fn, k_eval, cfg, size,
     )
+    prior = jnp.where(root_fresh[:, None], prior_eval, tree.prior[:, 0])
+    value = jnp.where(root_fresh, value_eval, tree.value[:, 0])
     if cfg.root_epsilon > 0:
         legal = prior >= 0
         noise = jax.random.gamma(k_noise, cfg.root_alpha, (B, A))
         noise = jnp.where(legal, noise, 0.0)
         noise = noise / jnp.maximum(noise.sum(axis=1, keepdims=True), 1e-10)
-        mixed = (1 - cfg.root_epsilon) * jnp.maximum(prior, 0.0) \
-            + cfg.root_epsilon * noise
+        base = jnp.maximum(prior, 0.0)
+        base = base / jnp.maximum(base.sum(axis=1, keepdims=True), 1e-10)
+        mixed = (1 - cfg.root_epsilon) * base + cfg.root_epsilon * noise
         prior = jnp.where(legal, mixed, -1.0)
     tree = tree._replace(
         prior=tree.prior.at[:, 0].set(prior),

@@ -54,6 +54,9 @@ class ActorConfig:
     cheat_selfplay_random_result: bool = False
     dump_record_prefix: str = ""   # write an SGF per finished game
     handicap: int = 0
+    # reuse the search tree across moves (TSOptions persistent_tree /
+    # treeAdvance): subtree stats carry over; capacity 2x rollouts
+    persistent_tree: bool = False
 
 
 def make_pair_eval_builder(eval_raw):
@@ -133,6 +136,8 @@ class SelfplayActor:
         # model versions used per board (async mode, record.h using_models)
         self.using_models: List[List[int]] = [[] for _ in range(B)]
         self._dump_count = 0
+        # persistent search tree (device arrays), created lazily
+        self.tree = None
 
     # ------------------------------------------------------------------ jit
 
@@ -165,15 +170,17 @@ class SelfplayActor:
             )
 
         def move_fn(state: GoState, params, batch_stats, key, never_resign,
-                    resign_thres):
+                    resign_thres, tree_in):
             eval_fn = self.eval_fn_builder(params, batch_stats)
             k_mcts, k_sample = jax.random.split(key)
+            search_tree = None
             if mcfg.num_rollouts <= 0:
                 res = policy_only(state, eval_fn, k_mcts)
             else:
-                res, _tree = run_mcts(
+                res, search_tree = run_mcts(
                     state.core, state.stone_hist, state.hist_len,
                     eval_fn, k_mcts, mcfg, size,
+                    init_tree=tree_in if cfg.persistent_tree else None,
                 )
             # diverse move below the cutoff ply (game_selfplay.cc:80)
             diverse = state.core.ply <= cfg.policy_distri_cutoff
@@ -195,7 +202,15 @@ class SelfplayActor:
             # resigning boards do not play the move
             new_state = gostate._tree_where(resign, state, new_state)
             final_score = gostate.evaluate(new_state, size, cfg.komi)
-            return new_state, MoveOutput(
+            tree_out = tree_in
+            if cfg.persistent_tree and search_tree is not None:
+                from elf_tpu.search.mcts import advance_tree
+
+                tree_out = advance_tree(
+                    search_tree, action, new_state.core, size,
+                    tree_in.stones.shape[1],
+                )
+            return new_state, tree_out, MoveOutput(
                 action=action,
                 mcts_policy=res.mcts_policy,
                 predicted_value=v,
@@ -220,10 +235,17 @@ class SelfplayActor:
         for _ in range(n_moves):
             self.key, k = jax.random.split(self.key)
             nr = jnp.asarray(self.never_resign)
-            new_state, out = self._move_fn(
+            if self.tree is None:
+                from elf_tpu.search.mcts import fresh_tree
+
+                capacity = 2 * self.mcts_cfg.num_rollouts + 2
+                self.tree = fresh_tree(B, self.size, max(capacity, 3),
+                                       self.state.core)
+            new_state, new_tree, out = self._move_fn(
                 self.state, params, batch_stats, k, nr,
-                jnp.float32(self.resign_thres),
+                jnp.float32(self.resign_thres), self.tree,
             )
+            self.tree = new_tree
 
             action = np.asarray(out.action)
             policy = np.asarray(out.mcts_policy)
@@ -262,6 +284,11 @@ class SelfplayActor:
                 mask = jnp.asarray(finished)
                 self.state = reset_where(self.state, mask, self.size,
                                          handicap=cfg.handicap)
+                if cfg.persistent_tree and self.tree is not None:
+                    from elf_tpu.search.mcts import reset_tree_where
+
+                    self.tree = reset_tree_where(self.tree, mask,
+                                                 self.state.core)
                 for b in np.nonzero(finished)[0]:
                     self.moves[b] = []
                     self.policies[b] = []
@@ -276,6 +303,10 @@ class SelfplayActor:
         return records
 
     def reset_all(self) -> None:
+        self.tree = None
+        self._reset_all_impl()
+
+    def _reset_all_impl(self) -> None:
         """Restart every game (sync-mode model change: the reference
         ThreadedDispatcher restart path, game_selfplay.cc:222 OnReceive)."""
         B = self.cfg.batch

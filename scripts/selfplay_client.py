@@ -76,6 +76,7 @@ def main(argv=None):
         cheat_selfplay_random_result=g.cheat_selfplay_random_result,
         dump_record_prefix=g.dump_record_prefix,
         handicap=g.handicap_level,
+        persistent_tree=mo.persistent_tree,
     )
     mcfg = MCTSConfig(
         num_rollouts=mo.num_rollouts,

@@ -81,3 +81,35 @@ class TestSelfplayActor:
         o = OracleGo(size)
         for m in moves:
             assert o.play(m), f"illegal move {m} in emitted record"
+
+
+class TestPersistentTree:
+    def test_persistent_tree_games_are_legal(self):
+        """Tree reuse across moves must not corrupt move selection: emitted
+        games replay legally through the oracle."""
+        from elf_tpu.env.go.oracle import OracleGo
+
+        size = 5
+        cfg = ActorConfig(
+            board_size=size, batch=2, policy_distri_cutoff=50,
+            never_resign_prob=1.0, persistent_tree=True,
+        )
+        mcfg = MCTSConfig(num_rollouts=12, rollouts_per_batch=4,
+                          rotation_flip=False, root_epsilon=0.25,
+                          root_alpha=0.5)
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=2)
+        records = []
+        for _ in range(16):
+            records.extend(actor.play_moves(None, None, 6))
+            if len(records) >= 2:
+                break
+        assert len(records) >= 2
+        for rec in records[:2]:
+            moves = sgf_string_to_moves(rec.result.content, size)
+            o = OracleGo(size)
+            for m in moves:
+                assert o.play(m), f"illegal move {m} with persistent tree"
+        assert actor.tree is not None
+        # tree stays within capacity
+        import numpy as np
+        assert (np.asarray(actor.tree.count) <= actor.tree.stones.shape[1]).all()

@@ -131,3 +131,80 @@ class TestMCTS:
         np.testing.assert_allclose(
             np.asarray(r1.mcts_policy), np.asarray(r2.mcts_policy)
         )
+
+
+class TestTreeReuse:
+    def test_advance_preserves_subtree(self):
+        """advance_tree re-roots at the played child: stats carry over,
+        indices compact, and a follow-up search runs correctly."""
+        from elf_tpu.search.mcts import advance_tree, run_mcts
+        from elf_tpu.env.go import engine as goeng
+
+        size = 5
+        B = 2
+        cfg = MCTSConfig(num_rollouts=24, rollouts_per_batch=4,
+                         rotation_flip=False, remove_pass_if_dangerous=False)
+        core = init_core(B, size)
+        hist, hlen = empty_hist(B, size)
+        res, tree = run_mcts(core, hist, hlen, uniform_eval(26),
+                             jax.random.PRNGKey(0), cfg, size)
+        a = res.best_action
+        n_sub = np.asarray(tree.n_edge[np.arange(B), 0, np.asarray(a)])
+        child = np.asarray(tree.child[np.arange(B), 0, np.asarray(a)])
+        assert (child >= 0).all()
+        child_visits_before = np.asarray(
+            tree.n_edge[np.arange(B), child]
+        ).sum(axis=1)
+
+        core2, _ = engine.step_core(core, a, size)
+        capacity = 2 * cfg.num_rollouts + 2
+        t2 = advance_tree(tree, a, core2, size, capacity)
+        # new root carries the child's edge statistics
+        np.testing.assert_array_equal(
+            np.asarray(t2.n_edge[:, 0]).sum(axis=1), child_visits_before
+        )
+        # root core matches the stepped env state
+        np.testing.assert_array_equal(
+            np.asarray(t2.stones[:, 0]), np.asarray(core2.stones)
+        )
+        assert (np.asarray(t2.parent[:, 0]) == -1).all()
+        # parent/child consistency in the compacted tree
+        t2p = np.asarray(t2.parent)
+        t2c = np.asarray(t2.child)
+        cnt = np.asarray(t2.count)
+        for b in range(B):
+            for n in range(1, cnt[b]):
+                p = t2p[b, n]
+                assert 0 <= p < cnt[b]
+                pa = int(np.asarray(t2.parent_a)[b, n])
+                assert t2c[b, p, pa] == n
+
+        # continue searching from the reused tree
+        res2, t3 = run_mcts(core2, hist, hlen, uniform_eval(26),
+                            jax.random.PRNGKey(1), cfg, size, init_tree=t2)
+        added = np.asarray(t3.n_edge[:, 0]).sum(axis=1) - child_visits_before
+        np.testing.assert_array_equal(added, [cfg.num_rollouts] * B)
+        assert int(np.abs(np.asarray(t3.vl_edge)).sum()) == 0
+
+    def test_advance_unvisited_child(self):
+        """Advancing along an unvisited action yields a fresh tree."""
+        from elf_tpu.search.mcts import advance_tree, run_mcts
+
+        size = 5
+        cfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                         rotation_flip=False, remove_pass_if_dangerous=False)
+        core = init_core(1, size)
+        hist, hlen = empty_hist(1, size)
+        res, tree = run_mcts(core, hist, hlen, uniform_eval(26),
+                             jax.random.PRNGKey(0), cfg, size)
+        # find an action with no child
+        child_row = np.asarray(tree.child[0, 0])
+        unvisited = int(np.nonzero(child_row < 0)[0][0])
+        core2, _ = engine.step_core(core, np.array([unvisited]), size)
+        t2 = advance_tree(tree, np.array([unvisited]), core2, size, 10)
+        assert int(t2.count[0]) == 1
+        assert not bool(t2.expanded[0, 0])
+        # a fresh search from it works
+        res2, _ = run_mcts(core2, hist, hlen, uniform_eval(26),
+                           jax.random.PRNGKey(1), cfg, size, init_tree=t2)
+        assert abs(float(res2.mcts_policy[0].sum()) - 1.0) < 1e-5

@@ -141,3 +141,29 @@ class TestPipeline:
                     r, c = divmod(tgt, size)  # target is transform(12)
                     # black stone is in the *opponent* plane (plane 1)
                     assert f[i, :, :, 1].sum() == 1
+
+    def test_bn_running_stats_update(self):
+        """Regression: with the reference's bn_momentum=0 quirk, running
+        stats must still track batch statistics (a frozen-at-init BN made
+        trained models lose to their random init at inference)."""
+        import jax
+        import jax.numpy as jnp
+
+        size = 5
+        pipe = self._make_pipeline(size)
+        opts = TrainOptions(batchsize=8, num_block=1, dim=16, bn_momentum=0.0)
+        cfg = ModelConfig(board_size=size, num_planes=18, num_block=1, dim=16,
+                          use_bf16=False, bn_momentum=0.0)
+        assert cfg.flax_bn_momentum < 1.0
+        trainer = Trainer(cfg, opts)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        mean0 = np.asarray(
+            jax.tree.leaves(state.batch_stats)[0]
+        ).copy()
+        step = jax.jit(trainer.make_train_step())
+        for _ in range(3):
+            hb = pipe.sample_host_batch(8)
+            feats, pi_t, winner = pipe.device_batch(hb)
+            state, _ = step(state, feats, pi_t, winner)
+        mean1 = np.asarray(jax.tree.leaves(state.batch_stats)[0])
+        assert not np.allclose(mean0, mean1), "BN running stats frozen"
