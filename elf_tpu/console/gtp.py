@@ -79,11 +79,13 @@ class GtpEngine:
             cfg = self.mcts_cfg
             eval_fn = self.eval_fn_builder
 
-            def fn(core, hist, hlen, params, batch_stats, rng, tree_in):
+            def fn(core, hist, hlen, params, batch_stats, rng, tree_in,
+                   hh_lo, hh_hi, nhash):
                 return run_mcts(
                     core, hist, hlen,
                     eval_fn(params, batch_stats), rng, cfg, self.size,
                     init_tree=tree_in,
+                    game_hash_hist=(hh_lo, hh_hi, nhash),
                 )
 
             self._searches[key] = jax.jit(fn)
@@ -130,6 +132,8 @@ class GtpEngine:
         res, tree = self._search_fn()(
             self.state.core, self.state.stone_hist, self.state.hist_len,
             self.params, self.batch_stats, k, self.tree,
+            self.state.hash_hist_lo, self.state.hash_hist_hi,
+            self.state.nhash,
         )
         self.tree = tree
         a = int(np.asarray(res.best_action)[0])

@@ -32,10 +32,11 @@ Semantics parity with the reference:
  - a re-selected not-yet-evaluated leaf is re-evaluated rather than
    duplicated (the array analog of requestEvaluation/waitEvaluation dedup).
 
-In-tree positional superko is not checked (the reference clones full
-GoState histories into the tree; our nodes are history-free — superko stays
-enforced at the *game* level in env.state).  This diverges only on rare
-in-search repetitions.
+In-tree positional superko IS checked: nodes carry positional hashes, and
+an expansion whose stone move recreates a path-ancestor or game-history
+position becomes a terminal node scored for the player to move
+(go_state.h:194), matching the reference's full-GoState-clone behavior
+without storing histories per node.
 """
 
 from __future__ import annotations
@@ -91,6 +92,8 @@ class Tree(NamedTuple):
     ko_age: jax.Array       # i32 [B, N]
     ply: jax.Array          # i32 [B, N]
     passes: jax.Array       # i32 [B, N]
+    hash_lo: jax.Array      # u32 [B, N]  positional hash (in-tree superko)
+    hash_hi: jax.Array      # u32 [B, N]
     # search stats
     prior: jax.Array        # f32 [B, N, A]   (-1 on illegal actions)
     n_edge: jax.Array       # i32 [B, N, A]
@@ -102,6 +105,7 @@ class Tree(NamedTuple):
     expanded: jax.Array     # bool [B, N]
     terminal: jax.Array     # bool [B, N]
     value: jax.Array        # f32 [B, N]      NN/terminal value (black persp.)
+    superko: jax.Array      # bool [B, N]     terminal by in-tree repetition
     legal: jax.Array        # bool [B, N, A]  node's legal mask (stored at
     #                         expansion, free-riding on step_core's analysis)
     count: jax.Array        # i32 [B]         allocated nodes
@@ -138,6 +142,8 @@ def _make_tree(B: int, size: int, N: int) -> Tree:
         ko_age=jnp.full((B, N), 10_000, jnp.int32),
         ply=zi32(B, N),
         passes=zi32(B, N),
+        hash_lo=jnp.zeros((B, N), jnp.uint32),
+        hash_hi=jnp.zeros((B, N), jnp.uint32),
         prior=jnp.full((B, N, A), -1.0, jnp.float32),
         n_edge=zi32(B, N, A),
         w_edge=zf32(B, N, A),
@@ -148,6 +154,7 @@ def _make_tree(B: int, size: int, N: int) -> Tree:
         expanded=jnp.zeros((B, N), jnp.bool_),
         terminal=jnp.zeros((B, N), jnp.bool_),
         value=zf32(B, N),
+        superko=jnp.zeros((B, N), jnp.bool_),
         legal=jnp.zeros((B, N, A), jnp.bool_),
         count=jnp.ones((B,), jnp.int32),  # root pre-allocated
     )
@@ -158,7 +165,6 @@ def _core_at(tree: Tree, rows: jax.Array, node: jax.Array, size: int) -> GoCore:
     (both [K]-shaped; rows may repeat for multi-leaf gathers)."""
     K = node.shape[0]
     g = lambda a: a[rows, node]
-    # hashes aren't tracked in-tree (no superko in search); zeros suffice.
     return GoCore(
         stones=g(tree.stones),
         to_play=g(tree.to_play),
@@ -168,8 +174,8 @@ def _core_at(tree: Tree, rows: jax.Array, node: jax.Array, size: int) -> GoCore:
         ply=g(tree.ply),
         passes=g(tree.passes),
         last_move=jnp.full((K,), -1, jnp.int32),
-        hash_lo=jnp.zeros((K,), jnp.uint32),
-        hash_hi=jnp.zeros((K,), jnp.uint32),
+        hash_lo=g(tree.hash_lo),
+        hash_hi=g(tree.hash_hi),
     )
 
 
@@ -191,6 +197,8 @@ def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> T
         ko_age=w(tree.ko_age, core.ko_age),
         ply=w(tree.ply, core.ply),
         passes=w(tree.passes, core.passes),
+        hash_lo=w(tree.hash_lo, core.hash_lo),
+        hash_hi=w(tree.hash_hi, core.hash_hi),
     )
 
 
@@ -217,7 +225,38 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
     return jnp.where(legal, q + u, NEG_INF)
 
 
-def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int):
+def _hash_in_ancestors(tree: Tree, node: jax.Array, h_lo: jax.Array,
+                       h_hi: jax.Array) -> jax.Array:
+    """bool [B]: does (h_lo, h_hi) equal any position hash on the path
+    node -> root?  (In-tree positional-superko detection.)"""
+    B = node.shape[0]
+    rows = jnp.arange(B)
+
+    def cond(carry):
+        _, active = carry
+        return jnp.any(active)
+
+    def body(carry):
+        (cur, found), active = carry
+        safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
+        hit = active & (tree.hash_lo[rows, safe] == h_lo) & (
+            tree.hash_hi[rows, safe] == h_hi
+        )
+        found = found | hit
+        parent = tree.parent[rows, safe]
+        active = active & (parent >= 0)
+        cur = jnp.where(active, parent, cur)
+        return (cur, found), active
+
+    (_, found), _ = lax.while_loop(
+        cond, body,
+        ((node, jnp.zeros((B,), jnp.bool_)), jnp.ones((B,), jnp.bool_)),
+    )
+    return found
+
+
+def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
+                       game_hh_lo=None, game_hh_hi=None, game_nhash=None):
     """One rollout's select+expand for all B trees.  Returns (tree, leaf_id).
 
     leaf_id: newly allocated node (pending eval), an existing pending node,
@@ -281,7 +320,33 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int):
     new_id = jnp.clip(new_id, 0, tree.stones.shape[1] - 1)
 
     tree = _write_core(tree, new_id, child_core, need_expand)
-    term = engine.is_terminal_core(child_core, size)
+
+    # in-tree positional superko (go_state.cc:96 semantics carried into the
+    # search): a stone move recreating a path-ancestor or game-history
+    # position terminates, scored for the player to move (go_state.h:194).
+    is_stone_move = exp_a < size * size
+    rep = _hash_in_ancestors(tree, exp_node, child_core.hash_lo,
+                             child_core.hash_hi)
+    if game_hh_lo is not None:
+        k = jnp.arange(game_hh_lo.shape[1])[None, :]
+        in_game = (
+            (game_hh_lo == child_core.hash_lo[:, None])
+            & (game_hh_hi == child_core.hash_hi[:, None])
+            & (k < game_nhash[:, None])
+        ).any(axis=1)
+        rep = rep | in_game
+    rep = rep & is_stone_move & need_expand
+    superko_value = jnp.where(child_core.to_play == BLACK, 1.0, -1.0)
+
+    term = engine.is_terminal_core(child_core, size) | rep
+    tree = tree._replace(
+        superko=tree.superko.at[rows, new_id].set(
+            jnp.where(need_expand, rep, tree.superko[rows, new_id])
+        ),
+        value=tree.value.at[rows, new_id].set(
+            jnp.where(rep, superko_value, tree.value[rows, new_id])
+        ),
+    )
     tree = tree._replace(
         legal=tree.legal.at[rows, new_id].set(
             jnp.where(
@@ -533,6 +598,8 @@ def advance_tree(
         ko_age=scatter(tree.ko_age, np.int32(10_000)),
         ply=scatter(tree.ply, np.int32(0)),
         passes=scatter(tree.passes, np.int32(0)),
+        hash_lo=scatter(tree.hash_lo, np.uint32(0)),
+        hash_hi=scatter(tree.hash_hi, np.uint32(0)),
         prior=scatter(tree.prior, np.float32(-1.0)),
         n_edge=scatter(tree.n_edge, np.int32(0)),
         w_edge=scatter(tree.w_edge, np.float32(0.0)),
@@ -543,6 +610,7 @@ def advance_tree(
         expanded=scatter(tree.expanded, False),
         terminal=scatter(tree.terminal, False),
         value=scatter(tree.value, np.float32(0.0)),
+        superko=scatter(tree.superko, False),
         legal=scatter(tree.legal, False),
         count=jnp.maximum(member.sum(axis=1).astype(jnp.int32), 1),
     )
@@ -570,12 +638,17 @@ def run_mcts(
     cfg: MCTSConfig,
     size: int,
     init_tree: Optional[Tree] = None,
+    game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
 ) -> Tuple[MCTSResult, Tree]:
     """Run cfg.num_rollouts simulations for B boards in lockstep.
 
     `init_tree`: a tree re-rooted by `advance_tree` — reused subtree stats
     carry over; fresh Dirichlet noise is re-mixed into the (reused) root
-    prior each move, as the reference re-noises each search."""
+    prior each move, as the reference re-noises each search.
+
+    `game_hash_hist`: (hash_hist_lo [B,H], hash_hist_hi [B,H], nhash [B])
+    from the game's GoState — enables in-tree superko detection against
+    positions played before the root."""
     B = root_core.stones.shape[0]
     rows = jnp.arange(B)
     A = size * size + 1
@@ -629,7 +702,11 @@ def run_mcts(
         tree, rng = carry
 
         def one_select(tree, _):
-            tree, leaf = _select_and_expand(tree, cfg, size)
+            if game_hash_hist is not None:
+                gl, gh, gn = game_hash_hist
+            else:
+                gl = gh = gn = None
+            tree, leaf = _select_and_expand(tree, cfg, size, gl, gh, gn)
             return tree, leaf
 
         tree, leaves = lax.scan(one_select, tree, None, length=m)  # [m, B]
@@ -648,6 +725,10 @@ def run_mcts(
             flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
             cfg, size
         )
+        # superko-terminal leaves use the stored next-player-wins value,
+        # not the TT sign
+        flat_sk = tree.superko[flat_rows, safe]
+        values = jnp.where(flat_sk, tree.value[flat_rows, safe], values)
         priors = priors.reshape(m, B, A)
         values = values.reshape(m, B)
 

@@ -181,6 +181,8 @@ class SelfplayActor:
                     state.core, state.stone_hist, state.hist_len,
                     eval_fn, k_mcts, mcfg, size,
                     init_tree=tree_in if cfg.persistent_tree else None,
+                    game_hash_hist=(state.hash_hist_lo, state.hash_hist_hi,
+                                    state.nhash),
                 )
             # diverse move below the cutoff ply (game_selfplay.cc:80)
             diverse = state.core.ply <= cfg.policy_distri_cutoff

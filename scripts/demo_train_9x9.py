@@ -7,6 +7,12 @@ random initialization (color-swapped halves) as a learning check.  This is
 the single-host "minimum end-to-end slice" of SURVEY.md §7.6 exercised for
 real on TPU.
 
+Note on the final check: at demo scale (minutes of training) both sides'
+MCTS with terminal Tromp-Taylor shortcuts masks net-strength differences —
+a >50% result needs a longer run.  For a fast, unambiguous proof that the
+training stack learns, see scripts/demo_supervised.py (move-prediction
+accuracy 47x above chance in 200 steps).
+
   python scripts/demo_train_9x9.py --iters 40 --out /tmp/demo9
 """
 

