@@ -130,6 +130,9 @@ def bench_mcts_rollouts(B=16, rollouts=64, m=8, blocks=20, dim=256):
 
 
 def main():
+    from elf_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     t_all = time.time()
     env_sps = bench_env_steps()
     print(f"# env_steps/s (19x19, B=4096): {env_sps:,.0f}", file=sys.stderr)

@@ -1,0 +1,30 @@
+"""Persistent XLA compilation cache.
+
+Compiles of the big jitted graphs (MCTS + ResNet) take minutes through the
+remote-compile path; the persistent cache makes every subsequent process
+start (benches, clients, consoles) reuse them.  Call once before building
+jitted functions.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def enable_compilation_cache(directory: str | None = None) -> str:
+    import jax
+
+    backend = jax.default_backend()
+    if backend == "cpu":
+        # CPU AOT artifacts embed the *compiling* machine's vector features;
+        # with a remote compile service that machine differs from this host
+        # and loading can SIGILL.  CPU compiles are cheap locally — skip.
+        return ""
+    directory = directory or os.environ.get(
+        "ELF_TPU_JAX_CACHE", os.path.expanduser("~/.cache/elf_tpu_jax")
+    )
+    directory = os.path.join(directory, backend)
+    os.makedirs(directory, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", directory)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return directory

@@ -170,6 +170,17 @@ class GameOptions:
         False, "integration-test mode: random selfplay outcomes"
     )
     dump_record_prefix: str = opt("", "SGF dump prefix")
+    num_games_per_thread: int = opt(
+        -1, "finish after this many games per board slot (-1 = endless)"
+    )
+    move_cutoff: int = opt(-1, "end games at this ply with a TT count (-1 = off)")
+    preload_sgf: str = opt("", "start games from this SGF prefix")
+    preload_sgf_move_to: int = opt(-1, "replay the preload to this move")
+    data_aug: int = opt(-1, "fixed D4 aug code for training (-1 = random)")
+    following_pass: bool = opt(
+        False, "answer an opponent pass with a pass when clearly winning"
+    )
+    use_mcts: bool = opt(True, "search-driven play (false = policy only)")
 
 
 @dataclasses.dataclass
@@ -232,6 +243,10 @@ class ControlOptions:
     keep_prev_selfplay: bool = opt(True, "keep replay buffer across promotions")
     resign_thres: float = opt(0.05, "resign when value below this")
     never_resign_prob: float = opt(0.1, "fraction of games that never resign")
+    resign_thres_lower_bound: float = opt(1e-9, "dynamic threshold floor")
+    resign_thres_upper_bound: float = opt(0.50, "dynamic threshold cap")
+    resign_target_fp_rate: float = opt(0.05, "false-positive quantile target")
+    resign_target_hist_size: int = opt(2500, "winner-min-value history size")
 
 
 ALL_OPTION_CLASSES = (

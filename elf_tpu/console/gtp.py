@@ -34,7 +34,7 @@ class GtpEngine:
 
     def __init__(self, eval_fn_builder, mcts_cfg: MCTSConfig,
                  size: int = 19, komi: float = 7.5, seed: int = 0,
-                 persistent_tree: bool = True):
+                 persistent_tree: bool = True, following_pass: bool = False):
         self.eval_fn_builder = eval_fn_builder
         self.mcts_cfg = mcts_cfg
         self.komi = komi
@@ -45,6 +45,9 @@ class GtpEngine:
         # tree reuse across genmove/play (treeAdvance): big win at GTP
         # rollout counts since the played line's subtree carries over
         self.persistent_tree = persistent_tree
+        # answer an opponent pass with a pass when clearly winning
+        # (mcts_update_info following_pass, game_selfplay.cc:106)
+        self.following_pass = following_pass
         self.tree = None
         self.reset(size)
 
@@ -141,6 +144,19 @@ class GtpEngine:
         mover_v = v if want == BLACK else -v
         if mover_v < -0.95:
             return "resign"
+        if (
+            self.following_pass
+            and int(np.asarray(self.state.core.last_move)[0])
+            == self.size * self.size
+            and mover_v > 0.9
+        ):
+            from elf_tpu.env.go import state as _gs
+
+            score = float(np.asarray(
+                _gs.evaluate(self.state, self.size, self.komi))[0])
+            mover_score = score if want == BLACK else -score
+            if mover_score > 0:
+                a = self.size * self.size  # follow the pass and win
         self.state, _ = step(self.state, np.array([a]), self.size)
         self.history.append(self.state)
         self._advance(a)

@@ -136,7 +136,11 @@ class SelfPlaySubCtrl:
         self.records: Dict[int, SelfPlayRecord] = {}
         self.cur_ver = -1
         self.resign_calc = ResignThresholdCalculator(
-            initial_threshold=opts.resign_thres
+            hist_size=getattr(opts, "resign_target_hist_size", 2500),
+            false_positive_target=getattr(opts, "resign_target_fp_rate", 0.05),
+            initial_threshold=opts.resign_thres,
+            min_threshold=getattr(opts, "resign_thres_lower_bound", 0.0),
+            max_threshold=getattr(opts, "resign_thres_upper_bound", 0.5),
         )
         self.lock = threading.Lock()
         self.logger = get_indexed_logger("control.SelfPlaySubCtrl-")

@@ -75,6 +75,9 @@ class MCTSConfig:
     # action ranking: most_visited | prior | uniform_random
     # (tree_search_base.h:213 MCTSResultT RankCriterion)
     pick_method: str = "most_visited"
+    # asymmetric exploration for the white mover (go_game_specific.h:89
+    # white_puct; -1 = same as c_puct) — used by eval games
+    white_puct: float = -1.0
 
     @property
     def num_nodes(self) -> int:
@@ -221,7 +224,10 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
     q = jnp.where(n_eff > 0, w_eff / jnp.maximum(n_eff, 1.0), 0.0)
 
     total = jnp.sum(n_eff, axis=1, keepdims=True)
-    u = cfg.c_puct * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n_eff)
+    c = cfg.c_puct
+    if cfg.white_puct > 0:
+        c = jnp.where(to_play == BLACK, cfg.c_puct, cfg.white_puct)[:, None]
+    u = c * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n_eff)
     return jnp.where(legal, q + u, NEG_INF)
 
 

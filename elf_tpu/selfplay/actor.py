@@ -57,6 +57,14 @@ class ActorConfig:
     # reuse the search tree across moves (TSOptions persistent_tree /
     # treeAdvance): subtree stats carry over; capacity 2x rollouts
     persistent_tree: bool = False
+    # end games at this ply with a TT count (go_game_specific.h:61)
+    move_cutoff: int = -1
+    # stop a board slot after this many games (go_game_specific.h:27)
+    num_games_per_thread: int = -1
+    # start games from this SGF prefix (go_game_specific.h:76-77);
+    # emitted records contain only the moves played after the preload
+    preload_sgf: str = ""
+    preload_sgf_move_to: int = -1
 
 
 def make_pair_eval_builder(eval_raw):
@@ -116,11 +124,8 @@ class SelfplayActor:
         self._reset_fn = None
 
         B = cfg.batch
-        self.state = init_state(B, self.size)
-        if cfg.handicap:
-            from elf_tpu.env.go.state import apply_handicap
-
-            self.state = apply_handicap(self.state, cfg.handicap, self.size)
+        self._fresh_state = self._make_fresh_state(B)
+        self.state = self._fresh_state
         # dynamic per-request controls (ClientCtrl): mutable at runtime
         self.resign_thres = cfg.resign_thres
         self.never_resign_prob = cfg.never_resign_prob
@@ -138,6 +143,32 @@ class SelfplayActor:
         self._dump_count = 0
         # persistent search tree (device arrays), created lazily
         self.tree = None
+
+    def _make_fresh_state(self, B: int):
+        """Initial game state: handicap and/or SGF-preload applied."""
+        cfg = self.cfg
+        state = init_state(B, self.size)
+        if cfg.handicap:
+            from elf_tpu.env.go.state import apply_handicap
+
+            state = apply_handicap(state, cfg.handicap, self.size)
+        if cfg.preload_sgf:
+            from elf_tpu.sgf import parse_sgf
+
+            with open(cfg.preload_sgf) as f:
+                game = parse_sgf(f.read())
+            moves = [m for _, m in game.main_moves()]
+            if cfg.preload_sgf_move_to >= 0:
+                moves = moves[: cfg.preload_sgf_move_to]
+            for mv in moves:
+                state, _ = step(state, np.full((B,), mv, np.int32), self.size)
+        return state
+
+    def finished_all(self) -> bool:
+        """True when every slot reached num_games_per_thread
+        (GoStateExt::finished, go_state_ext.h:230)."""
+        n = self.cfg.num_games_per_thread
+        return n > 0 and bool((self.seqs >= n).all())
 
     # ------------------------------------------------------------------ jit
 
@@ -260,7 +291,8 @@ class SelfplayActor:
             finished = np.zeros(B, bool)
             for b in range(B):
                 if was_terminated[b]:
-                    finished[b] = True  # shouldn't normally happen
+                    # frozen slot (game quota reached) or a stale terminal:
+                    # nothing to play or emit
                     continue
                 if resign[b]:
                     # mover resigns: reward = resigner loses
@@ -272,7 +304,11 @@ class SelfplayActor:
                 self.moves[b].append(int(action[b]))
                 self.policies[b].append(policy[b])
                 self.values[b].append(float(value[b]))
-                if terminated[b]:
+                hit_cutoff = (
+                    cfg.move_cutoff > 0
+                    and len(self.moves[b]) >= cfg.move_cutoff
+                )
+                if terminated[b] or hit_cutoff:
                     reward = float(np.sign(score[b])) or 1.0
                     if cfg.cheat_selfplay_random_result:
                         reward = float(self.rng.choice([-1.0, 1.0]))
@@ -283,9 +319,23 @@ class SelfplayActor:
 
             self.state = new_state
             if finished.any():
-                mask = jnp.asarray(finished)
-                self.state = reset_where(self.state, mask, self.size,
-                                         handicap=cfg.handicap)
+                # slots that reached their game quota stay frozen
+                # (GoStateExt::finished); the rest restart from the fresh
+                # (handicap/preload-applied) template
+                reset = finished.copy()
+                if cfg.num_games_per_thread > 0:
+                    for b in np.nonzero(finished)[0]:
+                        if self.seqs[b] + 1 >= cfg.num_games_per_thread:
+                            reset[b] = False
+                frozen = finished & ~reset
+                if frozen.any():
+                    self.state = self.state._replace(
+                        terminated=self.state.terminated | jnp.asarray(frozen)
+                    )
+                mask = jnp.asarray(reset)
+                from elf_tpu.env.go.state import _tree_where
+
+                self.state = _tree_where(mask, self._fresh_state, self.state)
                 if cfg.persistent_tree and self.tree is not None:
                     from elf_tpu.search.mcts import reset_tree_where
 

@@ -60,11 +60,15 @@ class HostBatch(NamedTuple):
 
 
 class TrainingPipeline:
-    def __init__(self, replay: ReplayBuffer, size: int, seed: int = 0):
+    def __init__(self, replay: ReplayBuffer, size: int, seed: int = 0,
+                 data_aug: int = -1):
+        """data_aug: fixed D4 code for training augmentation, or -1 for a
+        random code per sample (go_game_specific.h:46)."""
         self.replay = replay
         self.size = size
         self.n2 = size * size
         self.A = self.n2 + 1
+        self.data_aug = data_aug
         self.rng = np.random.RandomState(seed)
 
     def insert_record(self, record: Record) -> None:
@@ -78,7 +82,10 @@ class TrainingPipeline:
         snaps = np.zeros((batch_size, H, n2), np.int8)
         valid = np.zeros((batch_size, H), bool)
         to_play = np.zeros((batch_size,), np.int8)
-        codes = self.rng.randint(0, 8, size=batch_size).astype(np.int32)
+        if self.data_aug >= 0:
+            codes = np.full(batch_size, self.data_aug % 8, np.int32)
+        else:
+            codes = self.rng.randint(0, 8, size=batch_size).astype(np.int32)
         pi = np.zeros((batch_size, A), np.float32)
         winner = np.zeros((batch_size,), np.float32)
         for i, item in enumerate(items):

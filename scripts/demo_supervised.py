@@ -42,6 +42,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.02)
     args = ap.parse_args(argv)
 
+    from elf_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     size = 19
     replay = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
                                         q_max_size=1000), seed=0)

@@ -51,6 +51,9 @@ def main(argv=None):
         board_size=g.board_size, num_planes=18,
         num_block=to.num_block, dim=to.dim, use_bf16=to.bf16,
     )
+    from elf_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     trainer = Trainer(cfg, to)
     template = trainer.init_state(jax.random.PRNGKey(0))
     sa = load_checkpoint(args.a, template=template)

@@ -42,6 +42,9 @@ def main(argv=None):
         dim=to.dim,
         use_bf16=to.bf16,
     )
+    from elf_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     trainer = Trainer(cfg, to)
     state = trainer.init_state(jax.random.PRNGKey(0))
     if args.load:
@@ -62,7 +65,8 @@ def main(argv=None):
         rotation_flip=True,
     )
     engine = GtpEngine(eval_builder, mcfg, size=g.board_size, komi=g.komi,
-                       seed=g.seed)
+                       seed=g.seed, persistent_tree=mo.persistent_tree,
+                       following_pass=g.following_pass)
     engine.set_model(state.params, state.batch_stats)
     GtpConsole(engine).run()
 

@@ -49,6 +49,9 @@ def main(argv=None):
     to = om.get(TrainOptions)
     co = om.get(ControlOptions)
 
+    from elf_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     configure(args.loglevel)
     logger = get_indexed_logger("scripts.selfplay_client-")
 
@@ -77,6 +80,10 @@ def main(argv=None):
         dump_record_prefix=g.dump_record_prefix,
         handicap=g.handicap_level,
         persistent_tree=mo.persistent_tree,
+        move_cutoff=g.move_cutoff,
+        num_games_per_thread=g.num_games_per_thread,
+        preload_sgf=g.preload_sgf,
+        preload_sgf_move_to=g.preload_sgf_move_to,
     )
     mcfg = MCTSConfig(
         num_rollouts=mo.num_rollouts,

@@ -59,6 +59,9 @@ def main(argv=None):
     ro = om.get(ReplayOptions)
     co = om.get(ControlOptions)
 
+    from elf_tpu.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     configure(args.loglevel)
     logger = get_indexed_logger("scripts.train_server-")
 

@@ -113,3 +113,51 @@ class TestPersistentTree:
         # tree stays within capacity
         import numpy as np
         assert (np.asarray(actor.tree.count) <= actor.tree.stones.shape[1]).all()
+
+
+class TestGameOptions:
+    def test_move_cutoff(self):
+        size = 5
+        cfg = ActorConfig(board_size=size, batch=2, move_cutoff=6,
+                          policy_distri_cutoff=50, never_resign_prob=1.0)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                          rotation_flip=False, root_epsilon=0.25,
+                          root_alpha=0.5)
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=4)
+        records = actor.play_moves(None, None, 8)
+        assert records, "cutoff games did not finish"
+        for r in records:
+            assert r.result.num_move <= 6
+
+    def test_num_games_per_thread(self):
+        size = 5
+        cfg = ActorConfig(board_size=size, batch=2, move_cutoff=4,
+                          num_games_per_thread=2, policy_distri_cutoff=50,
+                          never_resign_prob=1.0)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                          rotation_flip=False, root_epsilon=0.25,
+                          root_alpha=0.5)
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=5)
+        for _ in range(10):
+            actor.play_moves(None, None, 5)
+            if actor.finished_all():
+                break
+        assert actor.finished_all()
+        assert (actor.seqs == 2).all()
+
+    def test_preload_sgf(self, tmp_path):
+        size = 5
+        sgf = tmp_path / "pre.sgf"
+        sgf.write_text("(;GM[1]SZ[5];B[aa];W[bb])")
+        cfg = ActorConfig(board_size=size, batch=2, preload_sgf=str(sgf),
+                          policy_distri_cutoff=50, never_resign_prob=1.0)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                          rotation_flip=False, root_epsilon=0.25,
+                          root_alpha=0.5)
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=6)
+        import numpy as np
+
+        stones = np.asarray(actor.state.core.stones)
+        assert stones[0, 0] == 1      # B aa
+        assert stones[0, 6] == 2      # W bb
+        assert int(actor.state.core.ply[0]) == 2
