@@ -59,13 +59,14 @@ def bench_env_steps(B=4096, size=19, chunk=64, iters=4):
 
     core = engine.init_core(B, size)
     key = jax.random.PRNGKey(0)
-    carry = rollout_chunk(core, fresh_legal, key)  # warmup + compile
-    jax.block_until_ready(carry[0].stones)
-    core, legal, key = carry
+    core, legal, key = rollout_chunk(core, fresh_legal, key)  # warmup + compile
+    _ = np.asarray(core.ply[:1])
     t0 = time.perf_counter()
     for _ in range(iters):
         core, legal, key = rollout_chunk(core, legal, key)
-    jax.block_until_ready(core.stones)
+    # fetch a real value: on some remote platforms block_until_ready alone
+    # does not force execution of the chain
+    _ = np.asarray(core.ply[:1])
     dt = time.perf_counter() - t0
     return B * chunk * iters / dt
 
@@ -82,13 +83,20 @@ def bench_nn_forward(batch=128, blocks=20, dim=256):
     def fwd(v, x):
         return model.apply(v, x, train=False)
 
-    out = fwd(variables, x)
-    jax.block_until_ready(out)
+    # chain iterations through the input so no call can be elided or served
+    # from a value cache by the device tunnel
+    @jax.jit
+    def chain(x, _pi, v):
+        return x + (v[:1, None, None, None] * 0), *fwd(variables, x)
+
+    pi, v = fwd(variables, x)
+    x, pi, v = chain(x, pi, v)  # warm up the chain jit itself
+    _ = np.asarray(v[:1])
     t0 = time.perf_counter()
     n = 8
     for _ in range(n):
-        out = fwd(variables, x)
-    jax.block_until_ready(out)
+        x, pi, v = chain(x, pi, v)
+    _ = np.asarray(v[:1])
     dt = time.perf_counter() - t0
     return batch * n / dt
 
@@ -118,13 +126,13 @@ def bench_mcts_rollouts(B=16, rollouts=64, m=8, blocks=20, dim=256):
     hlen = jnp.zeros((B,), jnp.int32)
     res, _ = fn(root_core=core, root_hist=hist, root_hist_len=hlen,
                 rng=jax.random.PRNGKey(0))
-    jax.block_until_ready(res.mcts_policy)
+    _ = np.asarray(res.mcts_policy[:1, :1])
     t0 = time.perf_counter()
     n = 3
     for i in range(n):
         res, _ = fn(root_core=core, root_hist=hist, root_hist_len=hlen,
                     rng=jax.random.PRNGKey(i + 1))
-    jax.block_until_ready(res.mcts_policy)
+        _ = np.asarray(res.mcts_policy[:1, :1])  # force execution
     dt = time.perf_counter() - t0
     return B * rollouts * n / dt
 

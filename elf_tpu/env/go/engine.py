@@ -227,10 +227,24 @@ def _use_scan_propagation() -> bool:
     """Backend-dependent fixpoint strategy: segmented row/col scans collapse
     straight runs per pass (few iterations — much faster on CPU), but
     19-wide scans along lane-misaligned axes map poorly onto the TPU's
-    (8, 128) vector tiling, where plain neighbor shifts win (measured:
-    155k vs 107k env-steps/s on v5e at B=4096)."""
+    (8, 128) vector tiling, where plain neighbor shifts win (and the
+    Pallas kernel, `_use_pallas`, wins over both)."""
     try:
         return jax.default_backend() == "cpu"
+    except Exception:  # noqa: BLE001
+        return False
+
+
+def _use_pallas() -> bool:
+    """Pallas fixpoint kernel on TPU backends (fixpoint stays VMEM-resident;
+    measured 2.37M vs 1.69M env-steps/s at B=4096 on v5e).  Opt out with
+    ELF_TPU_NO_PALLAS=1."""
+    import os
+
+    if os.environ.get("ELF_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
     except Exception:  # noqa: BLE001
         return False
 
@@ -243,6 +257,10 @@ def analyze_libs(stones2d: jax.Array, size: int):
       atari (1 lib)  : lib_min == lib_max != INF
       >=2 libs       : lib_min < lib_max
     """
+    if _use_pallas() and stones2d.shape[0] >= 32:
+        from elf_tpu.env.go.pallas_kernels import analyze_libs_pallas
+
+        return analyze_libs_pallas(stones2d, size)
     if _use_scan_propagation():
         return _analyze_libs_scan(stones2d, size)
     return _analyze_libs_neighbor(stones2d, size)
@@ -279,9 +297,9 @@ def _analyze_libs_scan(stones2d: jax.Array, size: int):
 
 
 def _analyze_libs_neighbor(stones2d: jax.Array, size: int):
-    """Plain 4-neighbor fixpoint on [B, N, N] (fastest measured variant on
-    TPU: 155k env-steps/s vs 142k for flat-layout rolls and 107k for
-    segmented scans at B=4096 — XLA already lays the 2D arrays out well)."""
+    """Plain 4-neighbor fixpoint on [B, N, N] (the XLA fallback; on TPU the
+    VMEM-resident Pallas kernel is ~1.4x faster end-to-end at B=4096 and is
+    preferred by `analyze_libs`)."""
     lm, lx = _init_lib_fields(stones2d, size)
 
     def merge(fs, nfs, same):
@@ -357,8 +375,18 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
     color = core.to_play.astype(jnp.int32)          # [B]
     opp = (3 - color).astype(jnp.int8)
 
+    # NO gathers/scatters anywhere in this function: generic gather on TPU
+    # lowers to a scalar loop (measured 12.7 ms for one [B, n2] table gather
+    # at B=4096 on v5e — 300x the cost of the whole rest of the step).
+    # Point lookups become one-hot compares + masked reductions instead.
+    arange_n2 = jnp.arange(n2, dtype=jnp.int32)
+    onehot_p = arange_n2[None, :] == p[:, None]     # [B, n2]
+
+    def at_p(a):  # a[i, p[i]] via masked sum (values are non-negative)
+        return jnp.sum(jnp.where(onehot_p, a, 0), axis=1).astype(a.dtype)
+
     stones = core.stones
-    occupied = jnp.take_along_axis(stones, p[:, None], axis=1)[:, 0] != EMPTY
+    occupied = jnp.any(onehot_p & (stones != EMPTY), axis=1)
     ko_violation = (
         (p == core.ko_point)
         & (core.ko_age == 0)
@@ -367,7 +395,6 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
     )
 
     # --- tentative placement -------------------------------------------------
-    onehot_p = jnp.zeros((B, n2), jnp.bool_).at[jnp.arange(B), p].set(True)
     place = (~is_pass)[:, None] & onehot_p
     s1 = jnp.where(place, color[:, None].astype(jnp.int8), stones)
     s1_2d = s1.reshape(B, size, size)
@@ -384,7 +411,6 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
     lm2f = lm2.reshape(B, n2)
     lx2f = lx2.reshape(B, n2)
 
-    at_p = lambda a: jnp.take_along_axis(a, p[:, None], axis=1)[:, 0]
     suicide = (~is_pass) & (at_p(lm2f) == _INF)
     illegal = (~is_pass) & (occupied | ko_violation | suicide)
 
@@ -402,13 +428,17 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
     def xor_reduce(x):
         return lax.reduce(x, np.uint32(0), lax.bitwise_xor, (1,))
 
-    place_lo = zlo[p, color]
-    place_hi = zhi[p, color]
-    opp_col = opp.astype(jnp.int32)
-    zlo_opp = zlo[jnp.arange(n2)[None, :], opp_col[:, None]]   # [B, N2]
-    zhi_opp = zhi[jnp.arange(n2)[None, :], opp_col[:, None]]
-    cap_lo = xor_reduce(jnp.where(cap_flat, zlo_opp, np.uint32(0)))
-    cap_hi = xor_reduce(jnp.where(cap_flat, zhi_opp, np.uint32(0)))
+    # color is only ever BLACK/WHITE: table "gathers" are two-row selects,
+    # and the point lookup is a one-hot masked xor-reduce.
+    is_black = (color == BLACK)[:, None]             # [B, 1]
+    z_col = (jnp.where(is_black, zlo[None, :, 1], zlo[None, :, 2]),
+             jnp.where(is_black, zhi[None, :, 1], zhi[None, :, 2]))
+    z_opp = (jnp.where(is_black, zlo[None, :, 2], zlo[None, :, 1]),
+             jnp.where(is_black, zhi[None, :, 2], zhi[None, :, 1]))
+    place_lo = xor_reduce(jnp.where(onehot_p, z_col[0], np.uint32(0)))
+    place_hi = xor_reduce(jnp.where(onehot_p, z_col[1], np.uint32(0)))
+    cap_lo = xor_reduce(jnp.where(cap_flat, z_opp[0], np.uint32(0)))
+    cap_hi = xor_reduce(jnp.where(cap_flat, z_opp[1], np.uint32(0)))
 
     new_hash_lo = core.hash_lo ^ place_lo ^ cap_lo
     new_hash_hi = core.hash_hi ^ place_hi ^ cap_hi
@@ -489,11 +519,10 @@ def _legal_from_analysis(
 
     flat = playable.reshape(B, n2)
     ko_active = (ko_age == 0) & (to_play == ko_color)
+    # one-hot compare, not a scatter (gather/scatter is a scalar loop on TPU)
     ko_mask = (
-        jnp.zeros((B, n2), jnp.bool_)
-        .at[jnp.arange(B), jnp.clip(ko_point, 0, n2 - 1)]
-        .set(ko_active & (ko_point >= 0))
-    )
+        jnp.arange(n2, dtype=jnp.int32)[None, :] == ko_point[:, None]
+    ) & ko_active[:, None]
     flat = flat & ~ko_mask
     return jnp.concatenate([flat, jnp.ones((B, 1), jnp.bool_)], axis=1)
 

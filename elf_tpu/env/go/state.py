@@ -91,15 +91,13 @@ def step(state: GoState, action: jax.Array, size: int) -> Tuple[GoState, StepInf
     ).any(axis=1)
     new_superko = state.superko | (placed & in_hist)
 
-    # append the pre-move hash (only for stone moves, go_state.cc:113)
-    rows = jnp.arange(B)
+    # append the pre-move hash (only for stone moves, go_state.cc:113).
+    # One-hot compare instead of a scatter: per-row dynamic-index updates
+    # lower to scalar loops on TPU.
     slot = jnp.clip(state.nhash, 0, state.hash_hist_lo.shape[1] - 1)
-    hh_lo = state.hash_hist_lo.at[rows, slot].set(
-        jnp.where(placed, state.core.hash_lo, state.hash_hist_lo[rows, slot])
-    )
-    hh_hi = state.hash_hist_hi.at[rows, slot].set(
-        jnp.where(placed, state.core.hash_hi, state.hash_hist_hi[rows, slot])
-    )
+    at_slot = (k == slot[:, None]) & placed[:, None]
+    hh_lo = jnp.where(at_slot, state.core.hash_lo[:, None], state.hash_hist_lo)
+    hh_hi = jnp.where(at_slot, state.core.hash_hi[:, None], state.hash_hist_hi)
     nhash = jnp.where(placed, state.nhash + 1, state.nhash)
 
     # board snapshot history (pushed on every successful forward, incl. pass)
@@ -113,9 +111,8 @@ def step(state: GoState, action: jax.Array, size: int) -> Tuple[GoState, StepInf
 
     # last_placed stores the 1-based move number (board.cc:680 with 1-based _ply)
     p = jnp.clip(action, 0, n2 - 1)
-    lp = state.last_placed.at[rows, p].set(
-        jnp.where(placed, state.core.ply + 1, state.last_placed[rows, p])
-    )
+    at_p = (jnp.arange(n2, dtype=jnp.int32)[None, :] == p[:, None]) & placed[:, None]
+    lp = jnp.where(at_p, (state.core.ply + 1)[:, None], state.last_placed)
 
     # keep core frozen on terminated boards
     core_out = _tree_where(state.terminated, state.core, core2)

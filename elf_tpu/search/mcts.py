@@ -112,6 +112,9 @@ class Tree(NamedTuple):
     legal: jax.Array        # bool [B, N, A]  node's legal mask (stored at
     #                         expansion, free-riding on step_core's analysis)
     count: jax.Array        # i32 [B]         allocated nodes
+    # the root's un-noised prior: Dirichlet re-mixes on reused roots blend
+    # into THIS, never into an already-noised prior
+    root_raw_prior: jax.Array  # f32 [B, A]
 
 
 class MCTSResult(NamedTuple):
@@ -160,6 +163,7 @@ def _make_tree(B: int, size: int, N: int) -> Tree:
         superko=jnp.zeros((B, N), jnp.bool_),
         legal=jnp.zeros((B, N, A), jnp.bool_),
         count=jnp.ones((B,), jnp.int32),  # root pre-allocated
+        root_raw_prior=jnp.full((B, A), -1.0, jnp.float32),
     )
 
 
@@ -619,7 +623,11 @@ def advance_tree(
         superko=scatter(tree.superko, False),
         legal=scatter(tree.legal, False),
         count=jnp.maximum(member.sum(axis=1).astype(jnp.int32), 1),
+        root_raw_prior=jnp.full(
+            (B, A), -1.0, jnp.float32
+        ),  # patched below from the new root's (never-noised) prior
     )
+    new_tree = new_tree._replace(root_raw_prior=new_tree.prior[:, 0])
     # the new root (node 0): authoritative env core; detach from old parent
     new_tree = _write_core(
         new_tree, jnp.zeros((B,), jnp.int32), new_root_core,
@@ -684,8 +692,14 @@ def run_mcts(
         _core_at(tree, rows, root_ids, size), root_terminal,
         snaps, valid, root_legal, eval_fn, k_eval, cfg, size,
     )
-    prior = jnp.where(root_fresh[:, None], prior_eval, tree.prior[:, 0])
+    # reused roots re-mix noise into the stored RAW prior (the reference
+    # rebuilds the root prior from the NN each search; blending into an
+    # already-noised prior would compound noise across moves)
+    raw_prior = jnp.where(
+        root_fresh[:, None], prior_eval, tree.root_raw_prior
+    )
     value = jnp.where(root_fresh, value_eval, tree.value[:, 0])
+    prior = raw_prior
     if cfg.root_epsilon > 0:
         legal = prior >= 0
         noise = jax.random.gamma(k_noise, cfg.root_alpha, (B, A))
@@ -699,6 +713,7 @@ def run_mcts(
         prior=tree.prior.at[:, 0].set(prior),
         value=tree.value.at[:, 0].set(value),
         expanded=tree.expanded.at[:, 0].set(True),
+        root_raw_prior=raw_prior,
     )
 
     m = max(1, cfg.rollouts_per_batch)

@@ -247,7 +247,7 @@ def make_record(
     never_resign: bool = False,
     using_models=None,
 ) -> Record:
-    from elf_tpu.env.go.coords import moves_to_sgf_string
+    from elf_tpu.native.sgf_codec import moves_to_sgf_string
 
     return Record(
         request=request or MsgRequest(),

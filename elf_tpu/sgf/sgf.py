@@ -60,13 +60,50 @@ class SgfGame:
     def main_moves(self) -> Iterator[Tuple[str, int]]:
         """Yield (color 'B'/'W', flat action) along the main variation
         (Sgf::iterator semantics, sgf.h:200)."""
+        yield from self.moves_along(())
+
+    def moves_along(self, branch: Tuple[int, ...]) -> Iterator[Tuple[str, int]]:
+        """Yield (color, flat action) along a chosen variation path.
+
+        `branch` gives the child index to take at each successive branch
+        point (node with >1 child); exhausted entries default to 0 (main
+        line).  This is the side-variation replay the reference parses but
+        never replays (sgf.cc keeps only child 0)."""
         size = self.board_size
         node: Optional[SgfNode] = self.root
+        depth = 0
         while node is not None:
             for color in ("B", "W"):
                 if color in node.props:
                     yield color, sgf_to_flat(node.props[color][0], size)
-            node = node.children[0] if node.children else None
+            if not node.children:
+                return
+            if len(node.children) > 1:
+                pick = branch[depth] if depth < len(branch) else 0
+                depth += 1
+                pick = min(max(pick, 0), len(node.children) - 1)
+                node = node.children[pick]
+            else:
+                node = node.children[0]
+
+    def variations(self) -> List[Tuple[int, ...]]:
+        """Enumerate every variation path (see `moves_along`) in the tree,
+        depth-first, main line first."""
+        out: List[Tuple[int, ...]] = []
+
+        def walk(node: SgfNode, path: Tuple[int, ...]) -> None:
+            while True:
+                if not node.children:
+                    out.append(path)
+                    return
+                if len(node.children) > 1:
+                    for i, child in enumerate(node.children):
+                        walk(child, path + (i,))
+                    return
+                node = node.children[0]
+
+        walk(self.root, ())
+        return out
 
 
 _TOKEN = re.compile(r"\s*(?:(\()|(\))|(;)|([A-Za-z]+)((?:\[(?:[^\]\\]|\\.)*\])+))")

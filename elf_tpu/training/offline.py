@@ -27,14 +27,21 @@ def record_from_sgf(text: str, expected_size: Optional[int] = None
                     ) -> Optional[Record]:
     """One SGF game -> a Record with one-hot per-move policies and the
     game result as reward (supervised df_pred semantics)."""
-    try:
-        game = parse_sgf(text)
-    except ValueError:
-        return None
-    size = game.board_size
+    from elf_tpu.native.sgf_codec import parse_sgf_main
+
+    parsed = parse_sgf_main(text)  # native fast path (bulk loading)
+    if parsed is not None:
+        moves, size, _komi, _handicap, result_str = parsed
+    else:
+        try:
+            game = parse_sgf(text)
+        except ValueError:
+            return None
+        size = game.board_size
+        moves = [m for _, m in game.main_moves()]
+        result_str = game.result
     if expected_size and size != expected_size:
         return None
-    moves = [m for _, m in game.main_moves()]
     if not moves:
         return None
     A = size * size + 1
@@ -43,7 +50,7 @@ def record_from_sgf(text: str, expected_size: Optional[int] = None
         p = np.zeros((A,), np.float32)
         p[m] = 1.0
         policies.append(p)
-    result = game.result.upper()
+    result = result_str.upper()
     reward = 1.0 if result.startswith("B") else -1.0
     rec = make_record(moves, reward, policies, [0.0] * len(moves), size)
     rec.offline = True

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from elf_tpu.env.go.coords import sgf_string_to_moves
+from elf_tpu.native.sgf_codec import sgf_string_to_moves
 from elf_tpu.env.go.features import (
     extract_agz_from_snapshots,
     transform_policy,

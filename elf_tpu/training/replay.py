@@ -120,7 +120,7 @@ def sample_training_batch(
     `switchRandomMove` to a random ply, `generateD4Code` handled downstream
     during feature extraction.
     """
-    from elf_tpu.env.go.coords import sgf_string_to_moves
+    from elf_tpu.native.sgf_codec import sgf_string_to_moves
 
     records = buffer.sample_many(batch_size)
     if len(records) < batch_size:
