@@ -59,8 +59,12 @@ def bench_env_steps(B=4096, size=19, chunk=64, iters=4):
 
     core = engine.init_core(B, size)
     key = jax.random.PRNGKey(0)
-    core, legal, key = rollout_chunk(core, fresh_legal, key)  # warmup + compile
-    _ = np.asarray(core.ply[:1])
+    # warmup: first call compiles; a couple more settle the device tunnel /
+    # dispatch pipeline into steady state (a single warmup call measurably
+    # under-reports on cold remote backends)
+    for _ in range(3):
+        core, legal, key = rollout_chunk(core, legal if _ else fresh_legal, key)
+        _ = np.asarray(core.ply[:1])
     t0 = time.perf_counter()
     for _ in range(iters):
         core, legal, key = rollout_chunk(core, legal, key)
@@ -147,6 +151,11 @@ def main():
     try:
         nn_sps = bench_nn_forward()
         print(f"# NN fwd evals/s (20b256c, bs=128): {nn_sps:,.0f}", file=sys.stderr)
+        nn_sps_big = bench_nn_forward(batch=1024)
+        print(
+            f"# NN fwd evals/s (20b256c, bs=1024): {nn_sps_big:,.0f}",
+            file=sys.stderr,
+        )
     except Exception as e:  # noqa: BLE001
         print(f"# NN bench failed: {e}", file=sys.stderr)
     try:

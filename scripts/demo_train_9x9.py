@@ -49,6 +49,11 @@ def main(argv=None):
     ap.add_argument("--train_bs", type=int, default=256)
     ap.add_argument("--minibatches_per_iter", type=int, default=8)
     ap.add_argument("--eval_games", type=int, default=16)
+    ap.add_argument("--final_eval", choices=["policy", "mcts", "both"],
+                    default="both",
+                    help="final trained-vs-random check: raw-policy play "
+                    "(clean net-quality signal), MCTS play (strength at "
+                    "the demo's rollout count), or both")
     args = ap.parse_args(argv)
 
     size = 9
@@ -108,36 +113,51 @@ def main(argv=None):
 
     runner.episode_summary()
 
-    # learning check: trained vs random init, swap halves, argmax play
-    eval_actor = SelfplayActor(
-        ActorConfig(board_size=size, batch=max(args.eval_games // 2, 1),
-                    komi=7.5, policy_distri_cutoff=0, resign_thres=0.0,
-                    never_resign_prob=1.0),
-        MCTSConfig(num_rollouts=args.rollouts, rollouts_per_batch=8,
-                   c_puct=1.5, root_epsilon=0.0, komi=7.5),
-        make_pair_eval_builder(eval_raw), seed=9,
-    )
-    trained = (runner.state.params, runner.state.batch_stats)
-    random0 = (state0.params, state0.batch_stats)
-    wins = 0
-    total = 0
-    for swap in (False, True):
-        black, white = (random0, trained) if swap else (trained, random0)
-        target = eval_actor.completed_games + max(args.eval_games // 2, 1)
-        while eval_actor.completed_games < target:
-            for r in eval_actor.play_moves(
-                (black[0], white[0]), (black[1], white[1]), 16
-            ):
-                total += 1
-                won = (r.result.reward < 0) if swap else (r.result.reward > 0)
-                wins += int(won)
-    print(json.dumps({
+    # learning check: trained vs random init, swap halves, argmax play.
+    # policy-only play (num_rollouts=0, the actPolicyOnly path) isolates net
+    # quality; MCTS play measures strength at the demo's rollout count (where
+    # terminal TT shortcuts can mask small-net differences).
+    def head_to_head(num_rollouts: int, seed: int):
+        eval_actor = SelfplayActor(
+            ActorConfig(board_size=size, batch=max(args.eval_games // 2, 1),
+                        komi=7.5, policy_distri_cutoff=0, resign_thres=0.0,
+                        never_resign_prob=1.0),
+            MCTSConfig(num_rollouts=num_rollouts, rollouts_per_batch=8,
+                       c_puct=1.5, root_epsilon=0.0, komi=7.5),
+            make_pair_eval_builder(eval_raw), seed=seed,
+        )
+        trained = (runner.state.params, runner.state.batch_stats)
+        random0 = (state0.params, state0.batch_stats)
+        wins = 0
+        total = 0
+        for swap in (False, True):
+            black, white = (random0, trained) if swap else (trained, random0)
+            target = eval_actor.completed_games + max(args.eval_games // 2, 1)
+            while eval_actor.completed_games < target:
+                for r in eval_actor.play_moves(
+                    (black[0], white[0]), (black[1], white[1]), 16
+                ):
+                    total += 1
+                    won = (
+                        (r.result.reward < 0) if swap else (r.result.reward > 0)
+                    )
+                    wins += int(won)
+        return wins, total
+
+    summary = {
         "final": True,
-        "trained_vs_random": f"{wins}/{total}",
-        "winrate": round(wins / max(total, 1), 3),
         "selfplay_black_winrate": round(wr.black_winrate(), 3),
-        "wall_s": round(time.time() - t0, 1),
-    }), flush=True)
+    }
+    if args.final_eval in ("policy", "both"):
+        w, n = head_to_head(0, seed=9)
+        summary["policy_only_trained_vs_random"] = f"{w}/{n}"
+        summary["policy_only_winrate"] = round(w / max(n, 1), 3)
+    if args.final_eval in ("mcts", "both"):
+        w, n = head_to_head(args.rollouts, seed=11)
+        summary["mcts_trained_vs_random"] = f"{w}/{n}"
+        summary["mcts_winrate"] = round(w / max(n, 1), 3)
+    summary["wall_s"] = round(time.time() - t0, 1)
+    print(json.dumps(summary), flush=True)
 
 
 if __name__ == "__main__":
