@@ -108,11 +108,19 @@ class SelfplayActor:
         mcts_cfg: MCTSConfig,
         eval_fn_builder: Callable[..., Any],
         seed: int = 0,
+        mesh: Optional[Any] = None,
     ):
         """eval_fn_builder(params, batch_stats) -> eval_fn(features).
 
-        For eval games pass `eval_fn_builder2` via `set_eval_pair`."""
+        For eval games pass `eval_fn_builder2` via `set_eval_pair`.
+
+        mesh: optional `jax.sharding.Mesh` with a 'dp' axis — the move step
+        then runs GSPMD-sharded: boards/trees split on dp, params
+        replicated (the pod-slice self-play DP shard of SURVEY §2.4; the
+        reference scales this with 2000 independent 1-GPU client
+        processes, README.rst:134).  cfg.batch must divide by mesh 'dp'."""
         self.cfg = cfg
+        self.mesh = mesh
         self.mcts_cfg = dataclasses.replace(mcts_cfg, komi=cfg.komi)
         self.eval_fn_builder = eval_fn_builder
         self.size = cfg.board_size
@@ -252,7 +260,21 @@ class SelfplayActor:
                 final_score=final_score,
             )
 
-        return jax.jit(move_fn)
+        if self.mesh is None:
+            return jax.jit(move_fn)
+
+        # GSPMD self-play: boards/trees sharded on dp, params replicated.
+        # Pytree-prefix shardings: one NamedSharding per argument applies
+        # to every leaf of that argument.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        batched = NamedSharding(self.mesh, P("dp"))
+        repl = NamedSharding(self.mesh, P())
+        return jax.jit(
+            move_fn,
+            in_shardings=(batched, repl, repl, repl, batched, repl, batched),
+            out_shardings=(batched, batched, batched),
+        )
 
     # ----------------------------------------------------------------- host
 

@@ -74,3 +74,41 @@ class TestSharding:
         import __graft_entry__ as ge
 
         ge.dryrun_multichip(8)
+
+
+class TestShardedSelfplay:
+    def test_sharded_actor_moves(self):
+        """Self-play move step GSPMD-sharded over dp: boards split across
+        devices, params replicated — runs and matches the unsharded step's
+        game semantics (finished games still emit records)."""
+        from elf_tpu.search.mcts import MCTSConfig
+        from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
+
+        mesh = make_mesh(8, tp=1)
+
+        def uniform_builder(params, batch_stats):
+            def eval_fn(feats, to_play):
+                K = feats.shape[0]
+                A = feats.shape[1] * feats.shape[2] + 1
+                return jnp.full((K, A), -np.log(A)), jnp.zeros((K,))
+
+            return eval_fn
+
+        acfg = ActorConfig(board_size=5, batch=16, komi=7.5,
+                           policy_distri_cutoff=4, resign_thres=0.0,
+                           never_resign_prob=1.0)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                          rotation_flip=False,
+                          remove_pass_if_dangerous=False)
+        actor = SelfplayActor(acfg, mcfg, uniform_builder, seed=2, mesh=mesh)
+        # 5x5 max-move termination is 2*25-1 = 49 plies, so 55 plies
+        # guarantees every board finishes at least once
+        recs = actor.play_moves(None, None, 55)
+        assert actor.completed_games > 0
+        assert len(recs) == actor.completed_games
+        # board state stays sharded on dp across steps
+        shard_names = {
+            str(s.spec) for s in
+            [actor.state.core.stones.sharding]
+        }
+        assert any("dp" in s for s in shard_names)
