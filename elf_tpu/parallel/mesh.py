@@ -116,6 +116,9 @@ def make_sharded_train_step(trainer, mesh: Mesh, template_state):
         in_shardings=(state_shardings, data, data, data),
         # pytree-prefix: replicate every stats leaf
         out_shardings=(state_shardings, NamedSharding(mesh, P())),
+        # callers rebind state to the output; donating lets XLA update
+        # params/opt_state in place instead of double-buffering them
+        donate_argnums=(0,),
     ), state_shardings
 
 

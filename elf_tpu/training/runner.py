@@ -58,8 +58,15 @@ class LearnerRunner:
             )
             self.state = shard_state(self.state, shardings)
         else:
-            self._train_step = jax.jit(trainer.make_train_step())
-        self._cooldown_step = jax.jit(trainer.make_cooldown_step())
+            # state buffers are donated: the runner always rebinds
+            # self.state to the step output, so the old TrainState can be
+            # updated in place (saves a params+opt_state HBM copy per step)
+            self._train_step = jax.jit(
+                trainer.make_train_step(), donate_argnums=(0,)
+            )
+        self._cooldown_step = jax.jit(
+            trainer.make_cooldown_step(), donate_argnums=(0,)
+        )
 
     def run_minibatch(self) -> Optional[Dict[str, float]]:
         hb = self.pipeline.sample_host_batch(self.opts.batchsize)
