@@ -43,6 +43,7 @@ class TrainServer:
         port: Optional[int] = None,
         replay_seed: int = 0,
         record_sink: Optional[Callable] = None,
+        journal_dir: str = "",
     ):
         self.opts = opts
         self.logger = get_indexed_logger("control.TrainServer-")
@@ -56,6 +57,13 @@ class TrainServer:
         # the learner passes TrainingPipeline.insert_record to get
         # snapshot-precomputed items)
         self.record_sink = record_sink or self.replay.insert
+        # on-disk journal of accepted records (ctrl_selfplay.h:233
+        # RecordBuffer::saveCurrent): rebuildable replay on server restart
+        self.journal = None
+        if journal_dir:
+            from elf_tpu.control.journal import RecordJournal
+
+            self.journal = RecordJournal(journal_dir)
         self.on_promote = on_promote
         self.num_selfplay_games = 0
         self.num_eval_games = 0
@@ -78,6 +86,19 @@ class TrainServer:
     def stop(self) -> None:
         self._sweep_stop.set()
         self.server.stop()
+        if self.journal is not None:
+            self.journal.close()
+
+    def resume_from_journal(self) -> int:
+        """Rebuild the replay buffer from journaled records (server restart
+        path; the reference cannot do this — its replay buffer is lost)."""
+        if self.journal is None:
+            return 0
+        n = self.journal.replay_into(self.record_sink)
+        self.num_selfplay_games += n
+        if n:
+            self.logger.info("resumed %d records from journal", n)
+        return n
 
     # -- data plane ---------------------------------------------------------
 
@@ -95,6 +116,8 @@ class TrainServer:
                 )
                 if accepted:
                     self.record_sink(r)
+                    if self.journal is not None:
+                        self.journal.append(r)
                     self.num_selfplay_games += 1
             elif r.request.vers.black_ver >= 0:
                 self.eval.feed(identity, r)

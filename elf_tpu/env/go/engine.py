@@ -394,20 +394,34 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
         & ~is_pass
     )
 
-    # --- tentative placement -------------------------------------------------
-    place = (~is_pass)[:, None] & onehot_p
-    s1 = jnp.where(place, color[:, None].astype(jnp.int8), stones)
-    s1_2d = s1.reshape(B, size, size)
+    if _use_pallas() and B >= 32:
+        # fused VMEM-resident placement + capture + both liberty fixpoints:
+        # one HBM read of the board, one write of the results (the XLA path
+        # below round-trips the board and two i32 fields per fixpoint)
+        from elf_tpu.env.go.pallas_kernels import step_analysis_pallas
 
-    lm1, _ = analyze_libs(s1_2d, size)
-    nolib1 = (s1_2d != EMPTY) & (lm1 == _INF)
-    captured2d = nolib1 & (s1_2d == opp[:, None, None])
-    ncap = captured2d.reshape(B, n2).sum(axis=1).astype(jnp.int32)
-    s2_2d = jnp.where(captured2d, EMPTY, s1_2d)
+        s2, lm2, lx2, cap_flat_b = step_analysis_pallas(
+            stones, action.astype(jnp.int32), color, size
+        )
+        captured2d = cap_flat_b.reshape(B, size, size)
+        ncap = cap_flat_b.sum(axis=1).astype(jnp.int32)
+        s2_2d = s2.reshape(B, size, size)
+    else:
+        # --- tentative placement ---------------------------------------------
+        place = (~is_pass)[:, None] & onehot_p
+        s1 = jnp.where(place, color[:, None].astype(jnp.int8), stones)
+        s1_2d = s1.reshape(B, size, size)
 
-    # --- final liberty analysis (legality + ko) ------------------------------
-    lm2, lx2 = analyze_libs(s2_2d, size)
-    s2 = s2_2d.reshape(B, n2)
+        lm1, _ = analyze_libs(s1_2d, size)
+        nolib1 = (s1_2d != EMPTY) & (lm1 == _INF)
+        captured2d = nolib1 & (s1_2d == opp[:, None, None])
+        ncap = captured2d.reshape(B, n2).sum(axis=1).astype(jnp.int32)
+        s2_2d = jnp.where(captured2d, EMPTY, s1_2d)
+
+        # --- final liberty analysis (legality + ko) ---------------------------
+        lm2, lx2 = analyze_libs(s2_2d, size)
+        s2 = s2_2d.reshape(B, n2)
+
     lm2f = lm2.reshape(B, n2)
     lx2f = lx2.reshape(B, n2)
 

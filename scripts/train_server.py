@@ -97,8 +97,12 @@ def main(argv=None):
 
     server = TrainServer(
         co, ro, port=co.port, record_sink=pipeline.insert_record,
+        journal_dir=os.path.join(args.ckpt_dir, "journal"),
     )
     server.replay = replay  # share the buffer
+    if args.load:
+        # server restart: rebuild the replay buffer from the record journal
+        server.resume_from_journal()
     server.start()
     initial_ver = int(runner.state.step)
     server.set_initial_version(initial_ver)

@@ -171,3 +171,58 @@ class TestEndToEnd:
             assert server.clients.num_alive() == 1
         finally:
             server.stop()
+
+
+class TestRecordJournal:
+    def test_journal_append_rotate_resume(self, tmp_path):
+        """Accepted records journal to disk in rotating chunks and refill a
+        sink on resume (RecordBuffer::saveCurrent, ctrl_selfplay.h:233)."""
+        from elf_tpu.control.journal import RecordJournal
+
+        d = str(tmp_path / "journal")
+        j = RecordJournal(d, rotate_every=3)
+        for i in range(7):
+            j.append(fake_record(ver=0, reward=1.0 if i % 2 else -1.0))
+        j.close()
+        import os
+
+        files = sorted(f for f in os.listdir(d) if f.endswith(".jsonl"))
+        assert files == ["records-0.jsonl", "records-1.jsonl",
+                         "records-2.jsonl"]
+
+        # a fresh journal resumes numbering and replays everything
+        j2 = RecordJournal(d, rotate_every=3)
+        got = []
+        n = j2.replay_into(got.append)
+        assert n == 7 and len(got) == 7
+        assert got[0].result.reward == -1.0
+        j2.append(fake_record())
+        j2.close()
+        assert os.path.exists(os.path.join(d, "records-3.jsonl"))
+
+    def test_server_journals_accepted_records(self, tmp_path):
+        opts = ControlOptions(expected_num_clients=1, selfplay_init_num=1,
+                              selfplay_update_num=1)
+        ropts = ReplayOptions(num_reader=2, q_min_size=1, q_max_size=50)
+        server = TrainServer(opts, ropts, port=0,
+                             journal_dir=str(tmp_path / "j"))
+        try:
+            server.set_initial_version(0)
+            from elf_tpu.selfplay.records import Records
+
+            recs = Records(identity="c0", states={},
+                           records=[fake_record(ver=0)])
+            server.on_receive("c0", "content", recs.to_json_string())
+            server.journal.flush()
+
+            # restart: a new server refills its replay from the journal
+            server2 = TrainServer(opts, ropts, port=0,
+                                  journal_dir=str(tmp_path / "j"))
+            try:
+                server2.set_initial_version(0)
+                assert server2.resume_from_journal() == 1
+                assert server2.replay.size() == 1
+            finally:
+                server2.stop()
+        finally:
+            server.stop()

@@ -49,6 +49,57 @@ def test_parity_snake_chains():
     np.testing.assert_array_equal(np.asarray(lx0), np.asarray(lx1))
 
 
+@pytest.mark.parametrize("size", [9, 19])
+def test_step_analysis_parity(size):
+    """Fused step kernel (place → capture → analyze) vs the XLA path on
+    positions reached by legal play, including passes and capture moves."""
+    B = 16
+    n2 = size * size
+    core = engine.init_core(B, size)
+    key = jax.random.PRNGKey(7)
+    legal = jnp.ones((B, n2 + 1), jnp.bool_)
+    for _ in range(30 if size == 9 else 50):
+        key, k = jax.random.split(key)
+        logits = jnp.where(legal, 0.0, -1e9)
+        a = jax.random.categorical(k, logits, axis=1).astype(jnp.int32)
+        core, info = engine.step_core(core, a, size)
+        legal = info.legal_next
+
+    key, k = jax.random.split(key)
+    logits = jnp.where(legal, 0.0, -1e9)
+    action = jax.random.categorical(k, logits, axis=1).astype(jnp.int32)
+    # force a few passes to cover the no-placement path
+    action = action.at[:3].set(n2)
+    color = core.to_play.astype(jnp.int32)
+    stones = core.stones
+
+    # XLA reference: tentative place, capture, re-analyze
+    is_pass = action >= n2
+    p = jnp.clip(action, 0, n2 - 1)
+    onehot_p = jnp.arange(n2, dtype=jnp.int32)[None, :] == p[:, None]
+    place = (~is_pass)[:, None] & onehot_p
+    s1 = jnp.where(place, color[:, None].astype(jnp.int8), stones)
+    s1_2d = s1.reshape(B, size, size)
+    lm1, _ = engine._analyze_libs_neighbor(s1_2d, size)
+    opp = (3 - color).astype(jnp.int8)
+    cap0 = ((s1_2d != 0) & (lm1 == engine._INF)
+            & (s1_2d == opp[:, None, None]))
+    s2_ref = jnp.where(cap0, 0, s1_2d)
+    lm_ref, lx_ref = engine._analyze_libs_neighbor(s2_ref, size)
+
+    from elf_tpu.env.go.pallas_kernels import step_analysis_pallas
+
+    s2, lm, lx, cap = step_analysis_pallas(stones, action, color, size, True)
+    np.testing.assert_array_equal(
+        np.asarray(s2_ref.reshape(B, n2)), np.asarray(s2)
+    )
+    np.testing.assert_array_equal(np.asarray(lm_ref), np.asarray(lm))
+    np.testing.assert_array_equal(np.asarray(lx_ref), np.asarray(lx))
+    np.testing.assert_array_equal(
+        np.asarray(cap0.reshape(B, n2)), np.asarray(cap)
+    )
+
+
 def test_parity_game_positions():
     """Boards reached by legal random play (realistic chain shapes)."""
     B, size = 8, 9
