@@ -50,9 +50,11 @@ class RecordJournal:
             if self._fh is None:
                 self._fh = open(self._path(self._chunk), "a")
             self._fh.write(json.dumps(record.to_json()) + "\n")
+            # One line per finished game (seconds apart) — flush every
+            # append so a crash loses at most the torn trailing line.
+            self._fh.flush()
             self._count += 1
             if self._count >= self.rotate_every:
-                self._fh.flush()
                 self._fh.close()
                 self._fh = None
                 self._chunk += 1
@@ -69,17 +71,39 @@ class RecordJournal:
                 self._fh.close()
                 self._fh = None
 
-    def replay_into(self, sink: Callable[[Record], None]) -> int:
-        """Feed every journaled record to `sink` (resume path). Returns the
-        number of records replayed."""
-        n = 0
-        for chunk in sorted(self._chunks()):
+    def replay_into(self, sink: Callable[[Record], None],
+                    limit: int | None = None) -> int:
+        """Feed journaled records to `sink` (resume path), newest chunks
+        first but in chronological order within the selection, keeping at
+        most `limit` records (pass the replay-buffer capacity so startup
+        cost is O(capacity), not O(all games ever)).  Torn/corrupt lines
+        (a crash mid-append) are skipped, not fatal.  Returns the number
+        of records replayed."""
+        selected: List[Record] = []
+        for chunk in sorted(self._chunks(), reverse=True):
             path = self._path(chunk)
-            with open(path) as fh:
-                for line in fh:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    sink(Record.from_json(json.loads(line)))
-                    n += 1
-        return n
+            chunk_records: List[Record] = []
+            try:
+                with open(path) as fh:
+                    for line in fh:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            chunk_records.append(
+                                Record.from_json(json.loads(line)))
+                        except (json.JSONDecodeError, KeyError, TypeError,
+                                ValueError):
+                            import logging
+                            logging.getLogger(__name__).warning(
+                                "journal %s: skipping corrupt line", path)
+            except OSError:
+                continue
+            selected = chunk_records + selected
+            if limit is not None and len(selected) >= limit:
+                break
+        if limit is not None:
+            selected = selected[-limit:]
+        for rec in selected:
+            sink(rec)
+        return len(selected)

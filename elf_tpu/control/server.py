@@ -94,7 +94,10 @@ class TrainServer:
         path; the reference cannot do this — its replay buffer is lost)."""
         if self.journal is None:
             return 0
-        n = self.journal.replay_into(self.record_sink)
+        n = self.journal.replay_into(
+            self.record_sink,
+            limit=self.replay.opts.q_max_size * self.replay.opts.num_reader,
+        )
         self.num_selfplay_games += n
         if n:
             self.logger.info("resumed %d records from journal", n)

@@ -120,7 +120,11 @@ class ControlServer:
         self.logger.info("control server listening on :%d", self.port)
 
     def stop(self) -> None:
-        self.server.shutdown()
+        # shutdown() blocks forever unless serve_forever() is running; if
+        # start() was never called (or the thread already died) just close
+        # the listening socket.
+        if self.thread.is_alive():
+            self.server.shutdown()
         self.server.server_close()
 
 
