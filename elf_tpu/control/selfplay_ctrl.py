@@ -52,8 +52,9 @@ class ResignThresholdCalculator:
 
     def feed(self, record: Record, black_never_resign: bool,
              white_never_resign: bool) -> None:
-        """ctrl_selfplay.h:51 feed: values alternate B,W,B,W... starting at
-        index 0 = black's move value (black perspective throughout)."""
+        """ctrl_selfplay.h:51 feed: values alternate by mover starting from
+        record.result.first_player (black perspective throughout).
+        Handicap records start with WHITE's move at index 0."""
         self.num_games += 1
         black_win = record.result.reward > 0
         if black_win:
@@ -65,7 +66,10 @@ class ResignThresholdCalculator:
             not black_win and white_never_resign
         ):
             values = record.result.values
-            start = 0 if black_win else 1
+            first = int(record.result.first_player) or 1
+            # index parity of the winner's moves
+            winner_is_first = black_win == (first == 1)
+            start = 0 if winner_is_first else 1
             min_value = 2.0
             for i in range(start, len(values), 2):
                 v = (1.0 + values[i]) if black_win else (1.0 - values[i])

@@ -52,6 +52,18 @@ def _build_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
     ]
+    lib.replay_game_ex.restype = ctypes.c_int
+    lib.replay_game_ex.argtypes = [
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS"),
+        ctypes.c_int,
+        np.ctypeslib.ndpointer(np.int8, flags="C_CONTIGUOUS"),
+    ]
     return lib
 
 
@@ -63,20 +75,35 @@ def _get_lib() -> Optional[ctypes.CDLL]:
     return _lib or None
 
 
-def replay_to_snapshots(moves, size: int) -> np.ndarray:
-    """[n_moves, size*size] int8 boards after each move (pass = n2)."""
+def replay_to_snapshots(moves, size: int, first_player: int = 1,
+                        setup_black=(), setup_white=()) -> np.ndarray:
+    """[n_moves, size*size] int8 boards after each move (pass = n2).
+
+    `first_player` (1 black / 2 white) and setup stones support handicap
+    and SGF-preloaded records, whose colors do NOT start black-on-even-ply
+    from an empty board."""
     n2 = size * size
     mv = np.asarray(moves, np.int32)
+    sb = np.ascontiguousarray(np.asarray(setup_black, np.int32))
+    sw = np.ascontiguousarray(np.asarray(setup_white, np.int32))
     out = np.zeros((len(mv), n2), np.int8)
     lib = _get_lib()
     if lib is not None and len(mv) > 0:
-        rc = lib.replay_game(size, np.ascontiguousarray(mv), len(mv), out)
+        rc = lib.replay_game_ex(
+            size, np.ascontiguousarray(mv), len(mv), int(first_player),
+            sb, len(sb), sw, len(sw), out,
+        )
         if rc == 0:
             return out
     # fallback: pure-Python oracle
     from elf_tpu.env.go.oracle import OracleGo
 
     o = OracleGo(size)
+    for p in sb:
+        o.stones[int(p)] = 1
+    for p in sw:
+        o.stones[int(p)] = 2
+    o.to_play = int(first_player)
     for k, a in enumerate(mv):
         o.play(int(a))
         out[k] = np.asarray(o.stones, np.int8)

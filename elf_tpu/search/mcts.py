@@ -20,6 +20,22 @@ lockstep op under jit:
   backprop add visit counts / values along parent chains
            (tree_search_node.h:253 updateEdgeStats).
 
+Memory layout (HBM is the constraint at the production operating point of
+>=1024 boards x 1600 rollouts):
+
+ - Edge statistics live on the CHILD NODE, not on [B, N, A] edge arrays: a
+   visited edge always has an allocated child (lazy alloc happens on first
+   traversal), so `n/w/vl` are [B, N] node fields and an edge without a
+   child implicitly has n = w = vl = 0.  This removes three of the five
+   O(N*A) arrays the naive edge layout needs.
+ - `prior` is bfloat16 (the reference itself ships policies 8-bit quantized
+   on the wire, go_state_ext.h:172) and doubles as the legality mask:
+   illegal actions store -1; legal-but-unevaluated nodes store 0.
+ - `child` is int16 (node ids < 32768), core scalars are i8/i16.
+
+Net: ~1.85 KB/node vs ~8 KB for the edge layout — 1024 trees x 1600
+rollouts x 2x reuse capacity fits in ~6 GB of HBM.
+
 Semantics parity with the reference:
  - values are stored from BLACK's perspective; selection flips Q for white
    (tree_search_base.h:132 getScore q_flip).
@@ -57,6 +73,7 @@ from elf_tpu.env.go.features import (
 )
 
 NEG_INF = jnp.float32(-1e9)
+_KO_INACTIVE = np.int16(10_000)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,36 +102,58 @@ class MCTSConfig:
 
 
 class Tree(NamedTuple):
-    """[B, N(, ...)] arrays; node 0 is the root."""
+    """[B, N(, ...)] arrays; node 0 is the root.
 
-    # env core per node
+    Edge stats are stored on the child node: for an edge (p, a) with child
+    c, n_edge(p, a) == n[c], w_edge(p, a) == w[c], vl_edge(p, a) == vl[c];
+    edges with child[p, a] == -1 have zero stats by construction."""
+
+    # env core per node (compact dtypes; widened on gather)
     stones: jax.Array       # i8  [B, N, n2]
     to_play: jax.Array      # i8  [B, N]
-    ko_point: jax.Array     # i32 [B, N]
+    ko_point: jax.Array     # i16 [B, N]
     ko_color: jax.Array     # i8  [B, N]
-    ko_age: jax.Array       # i32 [B, N]
-    ply: jax.Array          # i32 [B, N]
-    passes: jax.Array       # i32 [B, N]
+    ko_age: jax.Array       # i16 [B, N]
+    ply: jax.Array          # i16 [B, N]
+    passes: jax.Array       # i8  [B, N]
     hash_lo: jax.Array      # u32 [B, N]  positional hash (in-tree superko)
     hash_hi: jax.Array      # u32 [B, N]
     # search stats
-    prior: jax.Array        # f32 [B, N, A]   (-1 on illegal actions)
-    n_edge: jax.Array       # i32 [B, N, A]
-    w_edge: jax.Array       # f32 [B, N, A]   black-perspective value sums
-    vl_edge: jax.Array      # i32 [B, N, A]   virtual-loss counts
-    child: jax.Array        # i32 [B, N, A]   child node id or -1
-    parent: jax.Array       # i32 [B, N]
-    parent_a: jax.Array     # i32 [B, N]
+    prior: jax.Array        # bf16 [B, N, A]  (-1 illegal; 0 pending-legal)
+    child: jax.Array        # i16  [B, N, A]  child node id or -1
+    n: jax.Array            # i32 [B, N]  visits through the incoming edge
+    w: jax.Array            # f32 [B, N]  black-persp. value sum (incoming edge)
+    vl: jax.Array           # i32 [B, N]  virtual-loss count (incoming edge)
+    parent: jax.Array       # i16 [B, N]
+    parent_a: jax.Array     # i16 [B, N]
     expanded: jax.Array     # bool [B, N]
     terminal: jax.Array     # bool [B, N]
     value: jax.Array        # f32 [B, N]      NN/terminal value (black persp.)
     superko: jax.Array      # bool [B, N]     terminal by in-tree repetition
-    legal: jax.Array        # bool [B, N, A]  node's legal mask (stored at
-    #                         expansion, free-riding on step_core's analysis)
     count: jax.Array        # i32 [B]         allocated nodes
     # the root's un-noised prior: Dirichlet re-mixes on reused roots blend
     # into THIS, never into an already-noised prior
     root_raw_prior: jax.Array  # f32 [B, A]
+
+    # -- debug/test views (NOT hot-path): reconstruct the [B, N, A] edge
+    # arrays the naive layout would store ---------------------------------
+    def _edge_view(self, node_arr, fill):
+        child = self.child.astype(jnp.int32)
+        cs = jnp.clip(child, 0, node_arr.shape[1] - 1)
+        rows = jnp.arange(node_arr.shape[0])[:, None, None]
+        return jnp.where(child >= 0, node_arr[rows, cs], fill)
+
+    @property
+    def n_edge(self):
+        return self._edge_view(self.n, 0)
+
+    @property
+    def w_edge(self):
+        return self._edge_view(self.w, 0.0)
+
+    @property
+    def vl_edge(self):
+        return self._edge_view(self.vl, 0)
 
 
 class MCTSResult(NamedTuple):
@@ -137,31 +176,32 @@ def _init_tree(B: int, size: int, cfg: MCTSConfig) -> Tree:
 def _make_tree(B: int, size: int, N: int) -> Tree:
     n2 = size * size
     A = n2 + 1
+    assert N < 32768, "node ids are int16"
     zi8 = lambda *s: jnp.zeros(s, jnp.int8)
+    zi16 = lambda *s: jnp.zeros(s, jnp.int16)
     zi32 = lambda *s: jnp.zeros(s, jnp.int32)
     zf32 = lambda *s: jnp.zeros(s, jnp.float32)
     return Tree(
         stones=zi8(B, N, n2),
         to_play=zi8(B, N),
-        ko_point=jnp.full((B, N), -1, jnp.int32),
+        ko_point=jnp.full((B, N), -1, jnp.int16),
         ko_color=zi8(B, N),
-        ko_age=jnp.full((B, N), 10_000, jnp.int32),
-        ply=zi32(B, N),
-        passes=zi32(B, N),
+        ko_age=jnp.full((B, N), _KO_INACTIVE, jnp.int16),
+        ply=zi16(B, N),
+        passes=zi8(B, N),
         hash_lo=jnp.zeros((B, N), jnp.uint32),
         hash_hi=jnp.zeros((B, N), jnp.uint32),
-        prior=jnp.full((B, N, A), -1.0, jnp.float32),
-        n_edge=zi32(B, N, A),
-        w_edge=zf32(B, N, A),
-        vl_edge=zi32(B, N, A),
-        child=jnp.full((B, N, A), -1, jnp.int32),
-        parent=jnp.full((B, N), -1, jnp.int32),
-        parent_a=jnp.full((B, N), -1, jnp.int32),
+        prior=jnp.full((B, N, A), -1.0, jnp.bfloat16),
+        child=jnp.full((B, N, A), -1, jnp.int16),
+        n=zi32(B, N),
+        w=zf32(B, N),
+        vl=zi32(B, N),
+        parent=jnp.full((B, N), -1, jnp.int16),
+        parent_a=jnp.full((B, N), -1, jnp.int16),
         expanded=jnp.zeros((B, N), jnp.bool_),
         terminal=jnp.zeros((B, N), jnp.bool_),
         value=zf32(B, N),
         superko=jnp.zeros((B, N), jnp.bool_),
-        legal=jnp.zeros((B, N, A), jnp.bool_),
         count=jnp.ones((B,), jnp.int32),  # root pre-allocated
         root_raw_prior=jnp.full((B, A), -1.0, jnp.float32),
     )
@@ -169,17 +209,18 @@ def _make_tree(B: int, size: int, N: int) -> Tree:
 
 def _core_at(tree: Tree, rows: jax.Array, node: jax.Array, size: int) -> GoCore:
     """Gather a GoCore batch for node ids `node` on tree rows `rows`
-    (both [K]-shaped; rows may repeat for multi-leaf gathers)."""
+    (both [K]-shaped; rows may repeat for multi-leaf gathers).  Compact
+    tree dtypes are widened back to the engine's."""
     K = node.shape[0]
     g = lambda a: a[rows, node]
     return GoCore(
         stones=g(tree.stones),
         to_play=g(tree.to_play),
-        ko_point=g(tree.ko_point),
+        ko_point=g(tree.ko_point).astype(jnp.int32),
         ko_color=g(tree.ko_color),
-        ko_age=g(tree.ko_age),
-        ply=g(tree.ply),
-        passes=g(tree.passes),
+        ko_age=g(tree.ko_age).astype(jnp.int32),
+        ply=g(tree.ply).astype(jnp.int32),
+        passes=g(tree.passes).astype(jnp.int32),
         last_move=jnp.full((K,), -1, jnp.int32),
         hash_lo=g(tree.hash_lo),
         hash_hi=g(tree.hash_hi),
@@ -192,6 +233,7 @@ def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> T
     node = jnp.clip(node, 0, tree.stones.shape[1] - 1)
 
     def w(arr, val):
+        val = val.astype(arr.dtype)
         return arr.at[rows, node].set(
             jnp.where(mask.reshape((B,) + (1,) * (val.ndim - 1)), val, arr[rows, node])
         )
@@ -201,7 +243,7 @@ def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> T
         to_play=w(tree.to_play, core.to_play),
         ko_point=w(tree.ko_point, core.ko_point),
         ko_color=w(tree.ko_color, core.ko_color),
-        ko_age=w(tree.ko_age, core.ko_age),
+        ko_age=w(tree.ko_age, jnp.minimum(core.ko_age, jnp.int32(_KO_INACTIVE))),
         ply=w(tree.ply, core.ply),
         passes=w(tree.passes, core.passes),
         hash_lo=w(tree.hash_lo, core.hash_lo),
@@ -209,14 +251,29 @@ def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> T
     )
 
 
+def _edge_stats(tree: Tree, node: jax.Array):
+    """Per-action (n, w, vl) at `node` [B] -> three f32/i32 [B, A] arrays,
+    gathered from the child nodes (zero where no child exists)."""
+    B = node.shape[0]
+    rows = jnp.arange(B)
+    child = tree.child[rows, node].astype(jnp.int32)      # [B, A]
+    has = child >= 0
+    cs = jnp.clip(child, 0, tree.n.shape[1] - 1)
+    r2 = rows[:, None]
+    n = jnp.where(has, tree.n[r2, cs], 0)
+    w = jnp.where(has, tree.w[r2, cs], 0.0)
+    vl = jnp.where(has, tree.vl[r2, cs], 0)
+    return n, w, vl
+
+
 def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
     """[B, A] selection scores at `node` (tree_search_base.h:132 getScore)."""
     B = node.shape[0]
     rows = jnp.arange(B)
-    prior = tree.prior[rows, node]                      # [B, A]
-    n = tree.n_edge[rows, node].astype(jnp.float32)
-    w = tree.w_edge[rows, node]
-    vl = tree.vl_edge[rows, node].astype(jnp.float32)
+    prior = tree.prior[rows, node].astype(jnp.float32)   # [B, A]
+    n_i, w, vl_i = _edge_stats(tree, node)
+    n = n_i.astype(jnp.float32)
+    vl = vl_i.astype(jnp.float32)
     legal = prior >= 0.0
 
     to_play = tree.to_play[rows, node]
@@ -253,7 +310,7 @@ def _hash_in_ancestors(tree: Tree, node: jax.Array, h_lo: jax.Array,
             tree.hash_hi[rows, safe] == h_hi
         )
         found = found | hit
-        parent = tree.parent[rows, safe]
+        parent = tree.parent[rows, safe].astype(jnp.int32)
         active = active & (parent >= 0)
         cur = jnp.where(active, parent, cur)
         return (cur, found), active
@@ -283,14 +340,16 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
         tree, cur, leaf, done, depth = carry
         scores = _puct_scores(tree, cur, cfg)
         a = jnp.argmax(scores, axis=1).astype(jnp.int32)
-        # virtual loss on traversed edge
-        vl = tree.vl_edge.at[rows, cur, a].add(
-            jnp.where(~done, cfg.virtual_loss, 0)
-        )
-        tree = tree._replace(vl_edge=vl)
-        child = tree.child[rows, cur, a]
+        child = tree.child[rows, cur, a].astype(jnp.int32)
         has_child = child >= 0
         safe_child = jnp.clip(child, 0, tree.stones.shape[1] - 1)
+        # virtual loss on the traversed edge = on the child node (the
+        # expansion edge's vl is applied at allocation time instead)
+        tree = tree._replace(
+            vl=tree.vl.at[rows, safe_child].add(
+                jnp.where(~done & has_child, cfg.virtual_loss, 0)
+            )
+        )
         child_pending = has_child & ~tree.expanded[rows, safe_child] \
             & ~tree.terminal[rows, safe_child]
         child_terminal = has_child & tree.terminal[rows, safe_child]
@@ -349,6 +408,9 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
     superko_value = jnp.where(child_core.to_play == BLACK, 1.0, -1.0)
 
     term = engine.is_terminal_core(child_core, size) | rep
+    # pre-prior: legality of the child position, encoded in the prior sign
+    # ({0, -1}; overwritten with the real prior at evaluation time)
+    pre_prior = jnp.where(step_info.legal_next, 0.0, -1.0).astype(jnp.bfloat16)
     tree = tree._replace(
         superko=tree.superko.at[rows, new_id].set(
             jnp.where(need_expand, rep, tree.superko[rows, new_id])
@@ -356,27 +418,39 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
         value=tree.value.at[rows, new_id].set(
             jnp.where(rep, superko_value, tree.value[rows, new_id])
         ),
-    )
-    tree = tree._replace(
-        legal=tree.legal.at[rows, new_id].set(
-            jnp.where(
-                need_expand[:, None], step_info.legal_next,
-                tree.legal[rows, new_id],
-            )
+        prior=tree.prior.at[rows, new_id].set(
+            jnp.where(need_expand[:, None], pre_prior,
+                      tree.prior[rows, new_id])
         ),
     )
     tree = tree._replace(
         parent=tree.parent.at[rows, new_id].set(
-            jnp.where(need_expand, exp_node, tree.parent[rows, new_id])
+            jnp.where(need_expand, exp_node,
+                      tree.parent[rows, new_id].astype(jnp.int32)
+                      ).astype(jnp.int16)
         ),
         parent_a=tree.parent_a.at[rows, new_id].set(
-            jnp.where(need_expand, exp_a, tree.parent_a[rows, new_id])
+            jnp.where(need_expand, exp_a,
+                      tree.parent_a[rows, new_id].astype(jnp.int32)
+                      ).astype(jnp.int16)
         ),
         terminal=tree.terminal.at[rows, new_id].set(
             jnp.where(need_expand, term, tree.terminal[rows, new_id])
         ),
         child=tree.child.at[rows, exp_node, exp_a].set(
-            jnp.where(need_expand, new_id, tree.child[rows, exp_node, exp_a])
+            jnp.where(need_expand, new_id,
+                      tree.child[rows, exp_node, exp_a].astype(jnp.int32)
+                      ).astype(jnp.int16)
+        ),
+        # fresh stats + the expansion edge's virtual loss
+        n=tree.n.at[rows, new_id].set(
+            jnp.where(need_expand, 0, tree.n[rows, new_id])
+        ),
+        w=tree.w.at[rows, new_id].set(
+            jnp.where(need_expand, 0.0, tree.w[rows, new_id])
+        ),
+        vl=tree.vl.at[rows, new_id].set(
+            jnp.where(need_expand, cfg.virtual_loss, tree.vl[rows, new_id])
         ),
         count=tree.count + need_expand.astype(jnp.int32),
     )
@@ -415,7 +489,7 @@ def _leaf_snapshots(tree: Tree, rows: jax.Array, leaf: jax.Array,
         valid_newest_first.append(
             jnp.where(in_tree, node_is_postmove, k < root_hist_len[rows])
         )
-        parent = tree.parent[rows, safe]
+        parent = tree.parent[rows, safe].astype(jnp.int32)
         exiting = in_tree & (parent < 0)  # cur is the root
         k = jnp.where(in_tree, jnp.where(exiting, 1, 0), k + 1)
         cur = jnp.where(in_tree & ~exiting, parent, cur)
@@ -475,7 +549,8 @@ def _evaluate_states(
 def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
               active0: jax.Array, cfg: MCTSConfig) -> Tree:
     """Add one visit of `value` (black perspective) along leaf->root
-    (updateEdgeStats + virtual-loss removal)."""
+    (updateEdgeStats + virtual-loss removal).  Stats live on the path
+    nodes themselves (each node's incoming edge)."""
     B = leaf.shape[0]
     rows = jnp.arange(B)
 
@@ -486,17 +561,12 @@ def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
     def body(carry):
         tree, cur, active = carry
         safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
-        p = tree.parent[rows, safe]
-        a = tree.parent_a[rows, safe]
+        p = tree.parent[rows, safe].astype(jnp.int32)
         upd = active & (p >= 0)
-        psafe = jnp.clip(p, 0, tree.stones.shape[1] - 1)
-        asafe = jnp.clip(a, 0, tree.prior.shape[2] - 1)
         tree = tree._replace(
-            n_edge=tree.n_edge.at[rows, psafe, asafe].add(jnp.where(upd, 1, 0)),
-            w_edge=tree.w_edge.at[rows, psafe, asafe].add(
-                jnp.where(upd, value, 0.0)
-            ),
-            vl_edge=tree.vl_edge.at[rows, psafe, asafe].add(
+            n=tree.n.at[rows, safe].add(jnp.where(upd, 1, 0)),
+            w=tree.w.at[rows, safe].add(jnp.where(upd, value, 0.0)),
+            vl=tree.vl.at[rows, safe].add(
                 jnp.where(upd, -cfg.virtual_loss, 0)
             ),
         )
@@ -551,15 +621,16 @@ def advance_tree(
     rows = jnp.arange(B)
     a = jnp.clip(actions, 0, A - 1)
 
-    new_root = tree.child[rows, 0, a]
+    new_root = tree.child[rows, 0, a].astype(jnp.int32)
     has = new_root >= 0
     nr = jnp.clip(new_root, 0, N - 1)
 
     idx = jnp.broadcast_to(jnp.arange(N)[None, :], (B, N))
     alloc = idx < tree.count[:, None]
     member0 = (idx == nr[:, None]) & has[:, None] & alloc
-    parent_safe = jnp.clip(tree.parent, 0, N - 1)
-    has_parent = tree.parent >= 0
+    parent_i32 = tree.parent.astype(jnp.int32)
+    parent_safe = jnp.clip(parent_i32, 0, N - 1)
+    has_parent = parent_i32 >= 0
 
     def cond(carry):
         _, changed = carry
@@ -581,61 +652,60 @@ def advance_tree(
     def scatter(arr, fill):
         pos = jnp.where(member, new_id, dump)
         out = jnp.full((B, capacity + 1) + arr.shape[2:], fill, arr.dtype)
-        if arr.ndim == 2:
-            out = out.at[rows[:, None], pos].set(arr)
-        else:
-            out = out.at[rows[:, None], pos].set(arr)
+        out = out.at[rows[:, None], pos].set(arr)
         return out[:, :capacity]
 
     # remap node-id-valued arrays before scattering
-    child_safe = jnp.clip(tree.child, 0, N - 1)
-    child_member = member[rows[:, None, None], child_safe] & (tree.child >= 0)
+    child_i32 = tree.child.astype(jnp.int32)
+    child_safe = jnp.clip(child_i32, 0, N - 1)
+    child_member = member[rows[:, None, None], child_safe] & (child_i32 >= 0)
     child_remap = jnp.where(
         child_member, new_id[rows[:, None, None], child_safe], -1
-    )
+    ).astype(jnp.int16)
     parent_member = (
         jnp.take_along_axis(member, parent_safe, axis=1) & has_parent
     )
     parent_remap = jnp.where(
         parent_member, jnp.take_along_axis(new_id, parent_safe, axis=1), -1
-    )
+    ).astype(jnp.int16)
 
     new_tree = Tree(
         stones=scatter(tree.stones, np.int8(0)),
         to_play=scatter(tree.to_play, np.int8(0)),
-        ko_point=scatter(tree.ko_point, np.int32(-1)),
+        ko_point=scatter(tree.ko_point, np.int16(-1)),
         ko_color=scatter(tree.ko_color, np.int8(0)),
-        ko_age=scatter(tree.ko_age, np.int32(10_000)),
-        ply=scatter(tree.ply, np.int32(0)),
-        passes=scatter(tree.passes, np.int32(0)),
+        ko_age=scatter(tree.ko_age, _KO_INACTIVE),
+        ply=scatter(tree.ply, np.int16(0)),
+        passes=scatter(tree.passes, np.int8(0)),
         hash_lo=scatter(tree.hash_lo, np.uint32(0)),
         hash_hi=scatter(tree.hash_hi, np.uint32(0)),
-        prior=scatter(tree.prior, np.float32(-1.0)),
-        n_edge=scatter(tree.n_edge, np.int32(0)),
-        w_edge=scatter(tree.w_edge, np.float32(0.0)),
-        vl_edge=scatter(tree.vl_edge, np.int32(0)),
-        child=scatter(child_remap, np.int32(-1)),
-        parent=scatter(parent_remap, np.int32(-1)),
-        parent_a=scatter(tree.parent_a, np.int32(-1)),
+        prior=scatter(tree.prior, jnp.bfloat16(-1.0)),
+        child=scatter(child_remap, np.int16(-1)),
+        n=scatter(tree.n, np.int32(0)),
+        w=scatter(tree.w, np.float32(0.0)),
+        vl=scatter(tree.vl, np.int32(0)),
+        parent=scatter(parent_remap, np.int16(-1)),
+        parent_a=scatter(tree.parent_a, np.int16(-1)),
         expanded=scatter(tree.expanded, False),
         terminal=scatter(tree.terminal, False),
         value=scatter(tree.value, np.float32(0.0)),
         superko=scatter(tree.superko, False),
-        legal=scatter(tree.legal, False),
         count=jnp.maximum(member.sum(axis=1).astype(jnp.int32), 1),
         root_raw_prior=jnp.full(
             (B, A), -1.0, jnp.float32
         ),  # patched below from the new root's (never-noised) prior
     )
-    new_tree = new_tree._replace(root_raw_prior=new_tree.prior[:, 0])
+    new_tree = new_tree._replace(
+        root_raw_prior=new_tree.prior[:, 0].astype(jnp.float32)
+    )
     # the new root (node 0): authoritative env core; detach from old parent
     new_tree = _write_core(
         new_tree, jnp.zeros((B,), jnp.int32), new_root_core,
         jnp.ones((B,), jnp.bool_),
     )
     new_tree = new_tree._replace(
-        parent=new_tree.parent.at[:, 0].set(-1),
-        parent_a=new_tree.parent_a.at[:, 0].set(-1),
+        parent=new_tree.parent.at[:, 0].set(np.int16(-1)),
+        parent_a=new_tree.parent_a.at[:, 0].set(np.int16(-1)),
         terminal=new_tree.terminal.at[:, 0].set(
             engine.is_terminal_core(new_root_core, size)
         ),
@@ -685,7 +755,6 @@ def run_mcts(
     rng, k_eval, k_noise, k_pick = jax.random.split(rng, 4)
     root_ids = jnp.zeros((B,), jnp.int32)
     root_legal = engine.legal_moves(root_core, size)
-    tree = tree._replace(legal=tree.legal.at[:, 0].set(root_legal))
     snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
                                    root_hist_len, size)
     prior_eval, value_eval = _evaluate_states(
@@ -710,7 +779,7 @@ def run_mcts(
         mixed = (1 - cfg.root_epsilon) * base + cfg.root_epsilon * noise
         prior = jnp.where(legal, mixed, -1.0)
     tree = tree._replace(
-        prior=tree.prior.at[:, 0].set(prior),
+        prior=tree.prior.at[:, 0].set(prior.astype(jnp.bfloat16)),
         value=tree.value.at[:, 0].set(value),
         expanded=tree.expanded.at[:, 0].set(True),
         root_raw_prior=raw_prior,
@@ -741,7 +810,8 @@ def run_mcts(
         flat_term = tree.terminal[flat_rows, safe]
         snaps, valid = _leaf_snapshots(tree, flat_rows, safe, root_hist,
                                        root_hist_len, size)
-        flat_legal = tree.legal[flat_rows, safe]
+        # legality is encoded in the stored prior's sign
+        flat_legal = tree.prior[flat_rows, safe] >= 0
         priors, values = _evaluate_states(
             flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
             cfg, size
@@ -762,7 +832,8 @@ def run_mcts(
             write = ~already & ~is_term
             tree = tree._replace(
                 prior=tree.prior.at[rows, safe].set(
-                    jnp.where(write[:, None], priors[i], tree.prior[rows, safe])
+                    jnp.where(write[:, None], priors[i].astype(jnp.bfloat16),
+                              tree.prior[rows, safe])
                 ),
                 value=tree.value.at[rows, safe].set(
                     jnp.where(write | is_term, values[i], tree.value[rows, safe])
@@ -779,22 +850,23 @@ def run_mcts(
 
     (tree, _), _ = lax.scan(sim_batch, (tree, rng), None, length=n_batches)
 
-    visits = tree.n_edge[:, 0].astype(jnp.float32)            # [B, A]
-    legal_root = tree.prior[:, 0] >= 0
+    n_root, w_root, _ = _edge_stats(tree, jnp.zeros((B,), jnp.int32))
+    visits = n_root.astype(jnp.float32)                        # [B, A]
+    root_prior = tree.prior[:, 0].astype(jnp.float32)
+    legal_root = root_prior >= 0
     visits = jnp.where(legal_root, visits, 0.0)
     mcts_policy = visits / jnp.maximum(visits.sum(axis=1, keepdims=True), 1e-10)
     if cfg.pick_method == "prior":
         best = jnp.argmax(
-            jnp.where(legal_root, tree.prior[:, 0], -1.0), axis=1
+            jnp.where(legal_root, root_prior, -1.0), axis=1
         ).astype(jnp.int32)
     elif cfg.pick_method == "uniform_random":
         logits = jnp.where(legal_root, 0.0, -1e9)
         best = jax.random.categorical(k_pick, logits, axis=1).astype(jnp.int32)
     else:  # most_visited
         best = jnp.argmax(
-            visits + 1e-6 * jnp.maximum(tree.prior[:, 0], 0.0), axis=1
+            visits + 1e-6 * jnp.maximum(root_prior, 0.0), axis=1
         ).astype(jnp.int32)
-    w_root = tree.w_edge[:, 0]
     root_q = jnp.sum(w_root, axis=1) / jnp.maximum(jnp.sum(visits, axis=1), 1.0)
     return (
         MCTSResult(

@@ -25,14 +25,20 @@ class _HostTree:
     """Numpy snapshot of one tree row (device→host once, then O(nodes) walk)."""
 
     def __init__(self, tree, b: int):
-        self.prior = np.asarray(tree.prior[b])
-        self.n_edge = np.asarray(tree.n_edge[b])
-        self.w_edge = np.asarray(tree.w_edge[b])
-        self.child = np.asarray(tree.child[b])
+        self.prior = np.asarray(tree.prior[b], dtype=np.float32)
+        self.child = np.asarray(tree.child[b], dtype=np.int32)
         self.value = np.asarray(tree.value[b])
         self.terminal = np.asarray(tree.terminal[b])
         self.expanded = np.asarray(tree.expanded[b])
         self.count = int(np.asarray(tree.count[b]))
+        # edge stats live on the child node (mcts.py Tree docstring):
+        # reconstruct the [N, A] per-edge view for rendering
+        n_node = np.asarray(tree.n[b])
+        w_node = np.asarray(tree.w[b])
+        cs = np.clip(self.child, 0, n_node.shape[0] - 1)
+        has = self.child >= 0
+        self.n_edge = np.where(has, n_node[cs], 0)
+        self.w_edge = np.where(has, w_node[cs], 0.0)
 
 
 def render_tree(

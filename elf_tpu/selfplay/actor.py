@@ -133,7 +133,16 @@ class SelfplayActor:
 
         B = cfg.batch
         self._fresh_state = self._make_fresh_state(B)
-        self.state = self._fresh_state
+        # the live state is donated into move_fn each step — keep the reset
+        # template's buffers separate
+        self.state = jax.tree.map(jnp.copy, self._fresh_state)
+        # start-position wire fields: emitted records replay from THIS
+        # position, not an empty board (handicap: white moves first,
+        # go_state.cc HandicapTable; preload: whatever the SGF left)
+        stones0 = np.asarray(self._fresh_state.core.stones)[0]
+        self._first_player = int(np.asarray(self._fresh_state.core.to_play)[0])
+        self._setup_black = np.nonzero(stones0 == 1)[0].tolist()
+        self._setup_white = np.nonzero(stones0 == 2)[0].tolist()
         # dynamic per-request controls (ClientCtrl): mutable at runtime
         self.resign_thres = cfg.resign_thres
         self.never_resign_prob = cfg.never_resign_prob
@@ -209,7 +218,7 @@ class SelfplayActor:
             )
 
         def move_fn(state: GoState, params, batch_stats, key, never_resign,
-                    resign_thres, tree_in):
+                    resign_thres, tree_in=None):
             eval_fn = self.eval_fn_builder(params, batch_stats)
             k_mcts, k_sample = jax.random.split(key)
             search_tree = None
@@ -243,15 +252,7 @@ class SelfplayActor:
             # resigning boards do not play the move
             new_state = gostate._tree_where(resign, state, new_state)
             final_score = gostate.evaluate(new_state, size, cfg.komi)
-            tree_out = tree_in
-            if cfg.persistent_tree and search_tree is not None:
-                from elf_tpu.search.mcts import advance_tree
-
-                tree_out = advance_tree(
-                    search_tree, action, new_state.core, size,
-                    tree_in.stones.shape[1],
-                )
-            return new_state, tree_out, MoveOutput(
+            out = MoveOutput(
                 action=action,
                 mcts_policy=res.mcts_policy,
                 predicted_value=v,
@@ -259,9 +260,22 @@ class SelfplayActor:
                 terminated=new_state.terminated,
                 final_score=final_score,
             )
+            if not cfg.persistent_tree:
+                return new_state, out
+            from elf_tpu.search.mcts import advance_tree
 
+            tree_out = advance_tree(
+                search_tree, action, new_state.core, size,
+                tree_in.stones.shape[1],
+            )
+            return new_state, tree_out, out
+
+        # Donate the game state (and the persistent tree — gigabytes at
+        # production shapes) so XLA updates them in place instead of
+        # copying: state/tree_in have identical layouts to their outputs.
+        donate = (0, 6) if cfg.persistent_tree else (0,)
         if self.mesh is None:
-            return jax.jit(move_fn)
+            return jax.jit(move_fn, donate_argnums=donate)
 
         # GSPMD self-play: boards/trees sharded on dp, params replicated.
         # Pytree-prefix shardings: one NamedSharding per argument applies
@@ -270,10 +284,15 @@ class SelfplayActor:
 
         batched = NamedSharding(self.mesh, P("dp"))
         repl = NamedSharding(self.mesh, P())
+        if cfg.persistent_tree:
+            in_sh = (batched, repl, repl, repl, batched, repl, batched)
+            out_sh = (batched, batched, batched)
+        else:
+            in_sh = (batched, repl, repl, repl, batched, repl)
+            out_sh = (batched, batched)
         return jax.jit(
-            move_fn,
-            in_shardings=(batched, repl, repl, repl, batched, repl, batched),
-            out_shardings=(batched, batched, batched),
+            move_fn, in_shardings=in_sh, out_shardings=out_sh,
+            donate_argnums=donate,
         )
 
     # ----------------------------------------------------------------- host
@@ -290,17 +309,27 @@ class SelfplayActor:
         for _ in range(n_moves):
             self.key, k = jax.random.split(self.key)
             nr = jnp.asarray(self.never_resign)
-            if self.tree is None:
-                from elf_tpu.search.mcts import fresh_tree
+            # host reads of the pre-move state MUST happen before the call:
+            # its buffers are donated into move_fn
+            was_terminated = np.asarray(self.state.terminated)
+            to_play_before = np.asarray(self.state.core.to_play)
+            if cfg.persistent_tree:
+                if self.tree is None:
+                    from elf_tpu.search.mcts import fresh_tree
 
-                capacity = 2 * self.mcts_cfg.num_rollouts + 2
-                self.tree = fresh_tree(B, self.size, max(capacity, 3),
-                                       self.state.core)
-            new_state, new_tree, out = self._move_fn(
-                self.state, params, batch_stats, k, nr,
-                jnp.float32(self.resign_thres), self.tree,
-            )
-            self.tree = new_tree
+                    capacity = 2 * self.mcts_cfg.num_rollouts + 2
+                    self.tree = fresh_tree(B, self.size, max(capacity, 3),
+                                           self.state.core)
+                new_state, new_tree, out = self._move_fn(
+                    self.state, params, batch_stats, k, nr,
+                    jnp.float32(self.resign_thres), self.tree,
+                )
+                self.tree = new_tree
+            else:
+                new_state, out = self._move_fn(
+                    self.state, params, batch_stats, k, nr,
+                    jnp.float32(self.resign_thres),
+                )
 
             action = np.asarray(out.action)
             policy = np.asarray(out.mcts_policy)
@@ -308,7 +337,6 @@ class SelfplayActor:
             resign = np.asarray(out.resign)
             terminated = np.asarray(out.terminated)
             score = np.asarray(out.final_score)
-            was_terminated = np.asarray(self.state.terminated)
 
             finished = np.zeros(B, bool)
             for b in range(B):
@@ -318,7 +346,7 @@ class SelfplayActor:
                     continue
                 if resign[b]:
                     # mover resigns: reward = resigner loses
-                    to_play = int(np.asarray(self.state.core.to_play)[b])
+                    to_play = int(to_play_before[b])
                     reward = -1.0 if to_play == BLACK else 1.0
                     records.append(self._emit(b, reward, request))
                     finished[b] = True
@@ -437,4 +465,7 @@ class SelfplayActor:
             seq=int(self.seqs[b]),
             never_resign=bool(self.never_resign[b]),
             using_models=list(self.using_models[b]),
+            first_player=self._first_player,
+            setup_black=self._setup_black,
+            setup_white=self._setup_white,
         )

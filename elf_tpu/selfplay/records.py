@@ -123,6 +123,13 @@ class MsgResult:
     num_move: int = 0
     black_never_resign: bool = False   # go_state_ext.h:138
     white_never_resign: bool = False
+    # start-position extension (absent in record.h — the reference replays
+    # SGF through a GoState carrying the real player, go_state_ext.h:259;
+    # our compact move string needs these to replay handicap / preloaded
+    # games with the right colors).  Defaults keep reference records valid.
+    first_player: int = 1                 # 1 black / 2 white moves first
+    setup_black: List[int] = dataclasses.field(default_factory=list)
+    setup_white: List[int] = dataclasses.field(default_factory=list)
 
     def to_json(self) -> Dict[str, Any]:
         return dataclasses.asdict(self)
@@ -138,6 +145,9 @@ class MsgResult:
             int(d.get("num_move", 0)),
             bool(d.get("black_never_resign", False)),
             bool(d.get("white_never_resign", False)),
+            int(d.get("first_player", 1)),
+            [int(v) for v in d.get("setup_black", [])],
+            [int(v) for v in d.get("setup_white", [])],
         )
 
 
@@ -246,6 +256,9 @@ def make_record(
     seq: int = 0,
     never_resign: bool = False,
     using_models=None,
+    first_player: int = 1,
+    setup_black=None,
+    setup_white=None,
 ) -> Record:
     from elf_tpu.native.sgf_codec import moves_to_sgf_string
 
@@ -260,6 +273,9 @@ def make_record(
             black_never_resign=never_resign,
             white_never_resign=never_resign,
             using_models=list(using_models or []),
+            first_player=int(first_player),
+            setup_black=list(setup_black or []),
+            setup_white=list(setup_white or []),
         ),
         timestamp=time.time(),
         thread_id=thread_id,

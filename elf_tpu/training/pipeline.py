@@ -38,12 +38,23 @@ from elf_tpu.training.replay import ReplayBuffer
 class ReplayItem:
     """A record + its precomputed per-ply board snapshots."""
 
-    __slots__ = ("record", "snapshots", "moves")
+    __slots__ = ("record", "snapshots", "moves", "first_player")
 
     def __init__(self, record: Record, size: int):
         self.record = record
         self.moves = sgf_string_to_moves(record.result.content, size)
-        self.snapshots = replay_to_snapshots(self.moves, size)  # [L, n2] i8
+        # the real mover colors come from the record (handicap games start
+        # with white; go_state_ext.h:259 fromRecord replays a full GoState)
+        self.first_player = int(record.result.first_player) or 1
+        self.snapshots = replay_to_snapshots(
+            self.moves, size, self.first_player,
+            record.result.setup_black, record.result.setup_white,
+        )  # [L, n2] i8
+
+    def to_play_at(self, ply: int) -> int:
+        """Mover color at `ply` (colors strictly alternate from
+        first_player; a pass is a move)."""
+        return self.first_player if ply % 2 == 0 else 3 - self.first_player
 
     @property
     def black_win(self) -> bool:
@@ -92,7 +103,7 @@ class TrainingPipeline:
             L = len(item.moves)
             if L == 0:
                 valid[i] = False
-                to_play[i] = 1
+                to_play[i] = item.first_player
                 pi[i, n2] = 1.0
                 winner[i] = 1.0 if item.black_win else -1.0
                 continue
@@ -104,7 +115,7 @@ class TrainingPipeline:
             for j in range(n_avail):
                 snaps[i, H - 1 - j] = item.snapshots[ply - 1 - j]
                 valid[i, H - 1 - j] = True
-            to_play[i] = 1 if ply % 2 == 0 else 2
+            to_play[i] = item.to_play_at(ply)
             pols = item.record.result.policies
             if ply < len(pols) and (pols[ply].get("idx") or []):
                 pi[i] = dequantize_policy(pols[ply], A)

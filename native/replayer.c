@@ -15,6 +15,15 @@
  * API (ctypes):
  *   int replay_game(int size, const int32_t* moves, int n_moves,
  *                   int8_t* out_boards)   -- out [n_moves, size*size]
+ *   int replay_game_ex(int size, const int32_t* moves, int n_moves,
+ *                      int first_player,
+ *                      const int32_t* setup_black, int n_black,
+ *                      const int32_t* setup_white, int n_white,
+ *                      int8_t* out_boards)
+ * replay_game_ex additionally starts from pre-placed setup stones
+ * (handicap / SGF preload) and lets either color move first — the
+ * counterpart of the reference replaying through a GoState that carries
+ * the real player (go_state_ext.h:259 fromRecord).
  * Returns 0 on success, -1 on bad input.  out_boards[k] is the board
  * AFTER move k (0 empty / 1 black / 2 white); pass == size*size.
  */
@@ -56,16 +65,27 @@ static int flood_group(int size, const int8_t *board, int start, int color,
   return count;
 }
 
-int replay_game(int size, const int32_t *moves, int n_moves,
-                int8_t *out_boards) {
+int replay_game_ex(int size, const int32_t *moves, int n_moves,
+                   int first_player, const int32_t *setup_black, int n_black,
+                   const int32_t *setup_white, int n_white,
+                   int8_t *out_boards) {
   if (size <= 0 || size > 25 || n_moves < 0) return -1;
+  if (first_player != 1 && first_player != 2) return -1;
   int n2 = size * size;
   int8_t board[MAX_N2];
   memset(board, 0, (size_t)n2);
+  for (int i = 0; i < n_black; i++) {
+    if (setup_black[i] < 0 || setup_black[i] >= n2) return -1;
+    board[setup_black[i]] = 1;
+  }
+  for (int i = 0; i < n_white; i++) {
+    if (setup_white[i] < 0 || setup_white[i] >= n2) return -1;
+    board[setup_white[i]] = 2;
+  }
 
   for (int k = 0; k < n_moves; k++) {
     int a = moves[k];
-    int color = (k % 2 == 0) ? 1 : 2;
+    int color = (k % 2 == 0) ? first_player : 3 - first_player;
     int opp = 3 - color;
     if (a < 0 || a > n2) return -1;
     if (a < n2) {
@@ -106,4 +126,9 @@ int replay_game(int size, const int32_t *moves, int n_moves,
     memcpy(out_boards + (size_t)k * n2, board, (size_t)n2);
   }
   return 0;
+}
+
+int replay_game(int size, const int32_t *moves, int n_moves,
+                int8_t *out_boards) {
+  return replay_game_ex(size, moves, n_moves, 1, 0, 0, 0, 0, out_boards);
 }

@@ -142,6 +142,41 @@ class TestPipeline:
                     # black stone is in the *opponent* plane (plane 1)
                     assert f[i, :, :, 1].sum() == 1
 
+    def test_handicap_record_training(self):
+        """A handicap record (white moves first, setup stones on the board)
+        must train with the right mover and boards: the pre-parity-fix
+        pipeline inverted mine/theirs planes for every such sample."""
+        size = 5
+        buf = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
+                                         q_max_size=9))
+        pipe = TrainingPipeline(buf, size, seed=3)
+        A = 26
+        setup_black = [12, 6, 18]      # "handicap" stones
+        # white (first_player=2) plays 0, then black plays 1
+        p = np.zeros(A, np.float32)
+        p[0] = 1.0
+        rec = make_record([0, 1], -1.0, [p, p], [0.0, 0.0], size,
+                          first_player=2, setup_black=setup_black)
+        pipe.insert_record(rec)
+        # replayed snapshots include the setup stones from ply 0
+        item = buf.sample_many(1)[0]
+        assert item.first_player == 2
+        for k in range(2):
+            for s in setup_black:
+                assert item.snapshots[k][s] == 1
+        assert item.snapshots[0][0] == 2  # white's first move
+        assert item.to_play_at(0) == 2 and item.to_play_at(1) == 1
+        for _ in range(8):
+            hb = pipe.sample_host_batch(4)
+            for i in range(4):
+                # ply 0 -> white to move; ply 1 -> black to move
+                ply_is_0 = not hb.valid[i].any()
+                assert hb.to_play[i] == (2 if ply_is_0 else 1)
+                if not ply_is_0:
+                    # current board: 3 setup blacks + white stone at 0
+                    cur = hb.snaps[i, -1]
+                    assert (cur == 1).sum() == 3 and (cur == 2).sum() == 1
+
     def test_bn_running_stats_update(self):
         """Regression: with the reference's bn_momentum=0 quirk, running
         stats must still track batch statistics (a frozen-at-init BN made
