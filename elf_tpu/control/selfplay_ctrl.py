@@ -116,6 +116,9 @@ class SelfPlayRecord:
         self.white_win = 0
         self.resigned = 0
         self.move_count = 0
+        # learner weight updates issued while this selfplay version was
+        # current (ctrl_selfplay.h:311 num_weight_update_)
+        self.num_weight_update = 0
 
     def feed(self, r: Record) -> None:
         self.counter += 1
@@ -124,6 +127,21 @@ class SelfPlayRecord:
         else:
             self.white_win += 1
         self.move_count += r.result.num_move
+
+    def need_wait_for_more_sample(self, opts: ControlOptions) -> bool:
+        """ctrl_selfplay.h:243: the learner may take its k-th weight update
+        only after selfplay_init_num + k * selfplay_update_num fresh games
+        of the current version."""
+        if opts.selfplay_init_num <= 0:
+            return False
+        if self.counter < opts.selfplay_init_num:
+            return True
+        if opts.selfplay_update_num <= 0:
+            return False
+        return self.counter < (
+            opts.selfplay_init_num
+            + opts.selfplay_update_num * self.num_weight_update
+        )
 
     def info(self) -> str:
         n = max(1, self.counter)
@@ -189,6 +207,37 @@ class SelfPlaySubCtrl:
             self.opts.selfplay_init_num if initial else self.opts.selfplay_update_num
         )
         return self.num_games() >= need
+
+    # -- learner<->selfplay coupling (ctrl_selfplay.h:387 + game_ctrl.h:72) --
+
+    VERSION_OLD = "version_old"
+    VERSION_INVALID = "version_invalid"
+    INSUFFICIENT_SAMPLE = "insufficient_sample"
+    SUFFICIENT_SAMPLE = "sufficient_sample"
+
+    def need_wait_for_more_sample(self, selfplay_ver: int) -> str:
+        """SelfPlaySubCtrl::needWaitForMoreSample: the learner passes the
+        selfplay version it trained against; if a promotion moved past it
+        the wait ends (VERSION_OLD)."""
+        with self.lock:
+            if selfplay_ver < self.cur_ver:
+                return self.VERSION_OLD
+            rec = self.records.get(self.cur_ver)
+            if rec is None:
+                return self.VERSION_INVALID
+            return (
+                self.INSUFFICIENT_SAMPLE
+                if rec.need_wait_for_more_sample(self.opts)
+                else self.SUFFICIENT_SAMPLE
+            )
+
+    def notify_current_weight_update(self) -> None:
+        """ctrl_selfplay.h:255 notifyWeightUpdate: raises the fresh-game bar
+        for the learner's NEXT weight update at this selfplay version."""
+        with self.lock:
+            rec = self.records.get(self.cur_ver)
+            if rec is not None:
+                rec.num_weight_update += 1
 
     def fill_in_request(self, req: MsgRequest) -> None:
         with self.lock:

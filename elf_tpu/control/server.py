@@ -146,17 +146,50 @@ class TrainServer:
         self._initial_ver_seen = True
 
     def notify_new_version(self, old_ver: int, new_ver: int) -> None:
-        """distri_server.h notifyNewVersion: queue candidate for eval."""
+        """ThreadedCtrl::addNewModelForEvaluation (game_ctrl.h:118): queue
+        the candidate for evaluation, then BLOCK the learner until enough
+        fresh self-play games of the current version arrived — the
+        learner<->selfplay coupling that stops the learner overtraining a
+        stale buffer at fleet scale (game_ctrl.h:122-130)."""
+        if self.opts.eval_num_games == 0:
+            # no eval fleet: promote immediately (game_ctrl.h:120)
+            self._promote(new_ver)
+            return
         self.eval.add_new_model_for_evaluation(new_ver)
+        self.wait_for_sufficient_selfplay(selfplay_ver=self.selfplay.version())
 
     def wait_for_sufficient_selfplay(
-        self, timeout: float = 3600.0, poll: float = 2.0
+        self, timeout: float = 3600.0, poll: float = 2.0,
+        selfplay_ver: Optional[int] = None,
     ) -> bool:
+        """game_ctrl.h:72 waitForSufficientSelfplay.  With selfplay_ver:
+        block on the per-version fresh-game bar (a promotion past that
+        version also unblocks); without: the initial-start gate."""
         deadline = time.time() + timeout
-        initial = True
+        if selfplay_ver is None:
+            while time.time() < deadline:
+                if self.selfplay.is_sufficient(True) and self.replay.ready():
+                    # the initial gate is the learner's 0th weight update:
+                    # raise the fresh-game bar for the next one
+                    self.selfplay.notify_current_weight_update()
+                    return True
+                if self._sweep_stop.is_set():
+                    return False
+                time.sleep(poll)
+            return False
         while time.time() < deadline:
-            if self.selfplay.is_sufficient(initial) and self.replay.ready():
+            res = self.selfplay.need_wait_for_more_sample(selfplay_ver)
+            if res == self.selfplay.SUFFICIENT_SAMPLE:
+                self.selfplay.notify_current_weight_update()
                 return True
+            if res in (self.selfplay.VERSION_OLD, self.selfplay.VERSION_INVALID):
+                return True
+            if self._sweep_stop.is_set():
+                return False
+            self.logger.info(
+                "insufficient selfplay for version %d (%s)...",
+                selfplay_ver, self.selfplay.info(),
+            )
             time.sleep(poll)
         return False
 

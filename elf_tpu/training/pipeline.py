@@ -68,6 +68,8 @@ class HostBatch(NamedTuple):
     codes: np.ndarray     # i32 [B]
     pi_target: np.ndarray # f32 [B, A]
     winner: np.ndarray    # f32 [B]
+    selfplay_ver: np.ndarray  # i64 [B] per-sample record version
+    #                           (game_feature.h training field selfplay_ver)
 
 
 class TrainingPipeline:
@@ -99,7 +101,9 @@ class TrainingPipeline:
             codes = self.rng.randint(0, 8, size=batch_size).astype(np.int32)
         pi = np.zeros((batch_size, A), np.float32)
         winner = np.zeros((batch_size,), np.float32)
+        selfplay_ver = np.zeros((batch_size,), np.int64)
         for i, item in enumerate(items):
+            selfplay_ver[i] = item.record.request.vers.black_ver
             L = len(item.moves)
             if L == 0:
                 valid[i] = False
@@ -122,7 +126,8 @@ class TrainingPipeline:
             else:
                 pi[i, item.moves[ply]] = 1.0
             winner[i] = 1.0 if item.black_win else -1.0
-        return HostBatch(snaps, valid, to_play, codes, pi, winner)
+        return HostBatch(snaps, valid, to_play, codes, pi, winner,
+                         selfplay_ver)
 
     def device_batch(self, hb: HostBatch):
         """Returns (features [B,N,N,18], pi_target [B,A], winner [B])."""

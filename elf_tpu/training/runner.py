@@ -49,6 +49,12 @@ class LearnerRunner:
         self.ckpt_dir = ckpt_dir
         self.opts = opts
         self.logger = get_indexed_logger("training.LearnerRunner-")
+        # learner<->selfplay coupling (train.py:70-78): when set, batches
+        # containing records of a different selfplay version are skipped
+        # (unless keep_prev_selfplay)
+        self.version_provider = None       # () -> current selfplay version
+        self.keep_prev_selfplay = True
+        self.skipped_stale_batches = 0
         self.state = trainer.init_state(jax.random.PRNGKey(seed))
         if mesh is not None:
             from elf_tpu.parallel.mesh import make_sharded_train_step, shard_state
@@ -72,6 +78,15 @@ class LearnerRunner:
         hb = self.pipeline.sample_host_batch(self.opts.batchsize)
         if hb is None:
             return None
+        if self.version_provider is not None and not self.keep_prev_selfplay:
+            cur = int(self.version_provider())
+            if (hb.selfplay_ver != cur).any():
+                # stale in-flight batch after a promotion (train.py:72)
+                self.skipped_stale_batches += 1
+                self.logger.info(
+                    "skipping batch with selfplay_ver != %d", cur
+                )
+                return None
         feats, pi_t, winner = self.pipeline.device_batch(hb)
         self.state, stats = self._train_step(self.state, feats, pi_t, winner)
         return {k: float(v) for k, v in stats.items()}

@@ -114,6 +114,10 @@ def main(argv=None):
         logger.info("model %d promoted to selfplay baseline", ver)
 
     server.on_promote = on_promote
+    # learner<->selfplay coupling: skip stale in-flight batches after a
+    # promotion (train.py:70-78)
+    runner.version_provider = server.selfplay.version
+    runner.keep_prev_selfplay = co.keep_prev_selfplay
 
     try:
         logger.info("waiting for sufficient selfplay...")

@@ -57,6 +57,87 @@ class TestSubControllers:
         assert sp.feed(fake_record(ver=5))
         assert sp.is_sufficient(initial=True)
 
+    def test_learner_selfplay_coupling(self):
+        """game_ctrl.h:72/122: a slow client fleet throttles the learner —
+        notify_new_version blocks until enough fresh games of the current
+        selfplay version arrive."""
+        opts = ControlOptions(expected_num_clients=1, selfplay_init_num=2,
+                              selfplay_update_num=2, eval_num_games=8)
+        ropts = ReplayOptions(num_reader=2, q_min_size=1, q_max_size=50)
+        server = TrainServer(opts, ropts, port=0)
+        try:
+            server.set_initial_version(0)
+            from elf_tpu.selfplay.records import Records
+
+            def feed(n):
+                recs = Records(
+                    identity="c0", states={},
+                    records=[fake_record(ver=0,
+                                         reward=1.0 if k % 2 else -1.0)
+                             for k in range(n)],
+                )
+                server.on_receive("c0", "content", recs.to_json_string())
+
+            feed(2)
+            # initial gate passes and counts as weight update 0
+            assert server.wait_for_sufficient_selfplay(timeout=5, poll=0.05)
+
+            unblocked = threading.Event()
+
+            def learner():
+                server.notify_new_version(0, 100)
+                unblocked.set()
+
+            t = threading.Thread(target=learner, daemon=True)
+            t.start()
+            # bar is now init+update = 4 games; only 2 arrived -> blocked
+            assert not unblocked.wait(1.0), "learner was not throttled"
+            feed(2)
+            assert unblocked.wait(10.0), "learner did not unblock"
+            t.join(5)
+            # the candidate got queued for evaluation
+            assert server.eval.info()
+        finally:
+            server.stop()
+
+    def test_stale_batch_skipped(self):
+        """train.py:70-78: after a promotion (keep_prev_selfplay=False) the
+        learner skips in-flight batches from the old version."""
+        from elf_tpu.training.pipeline import TrainingPipeline
+        from elf_tpu.training.replay import ReplayBuffer
+        from elf_tpu.training.runner import LearnerRunner
+        from elf_tpu.training.trainer import Trainer
+        from elf_tpu.config import TrainOptions
+        from elf_tpu.models.resnet import ModelConfig
+        from elf_tpu.selfplay.records import make_record
+
+        size = 5
+        buf = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
+                                         q_max_size=20))
+        pipe = TrainingPipeline(buf, size, seed=0)
+        A = size * size + 1
+        pi = np.zeros(A, np.float32)
+        pi[3] = 1.0
+        req = MsgRequest(vers=ModelPair(black_ver=0, white_ver=-1))
+        for k in range(4):
+            pipe.insert_record(make_record(
+                [3, 7], 1.0 if k % 2 else -1.0, [pi, pi], [0.0, 0.0], size,
+                request=req,
+            ))
+        opts = TrainOptions(batchsize=4, num_block=1, dim=8)
+        cfg = ModelConfig(board_size=size, num_planes=18, num_block=1,
+                          dim=8, use_bf16=False)
+        runner = LearnerRunner(Trainer(cfg, opts), pipe, "/tmp", opts)
+        cur_ver = [0]
+        runner.version_provider = lambda: cur_ver[0]
+        runner.keep_prev_selfplay = False
+        assert runner.run_minibatch() is not None       # fresh: trains
+        cur_ver[0] = 5                                   # promotion happened
+        assert runner.run_minibatch() is None            # stale: skipped
+        assert runner.skipped_stale_batches == 1
+        runner.keep_prev_selfplay = True
+        assert runner.run_minibatch() is not None        # kept buffer trains
+
     def test_resign_threshold_quantile(self):
         rc = ResignThresholdCalculator(
             hist_size=1000, false_positive_target=0.1, initial_threshold=0.05,
