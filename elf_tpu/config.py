@@ -237,6 +237,9 @@ class ControlOptions:
     client_max_delay_sec: int = opt(1200, "client declared dead after this silence")
     selfplay_init_num: int = opt(200, "games required before first training")
     selfplay_update_num: int = opt(1000, "games per model version")
+    selfplay_async: bool = opt(
+        False, "async self-play: games continue across model versions"
+    )
     eval_num_games: int = opt(400, "games per candidate evaluation")
     eval_winrate_thres: float = opt(0.55, "promotion threshold")
     eval_old_model: int = opt(-1, "baseline version override")

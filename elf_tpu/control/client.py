@@ -24,7 +24,12 @@ from elf_tpu.config import ControlOptions
 from elf_tpu.control.transport import ControlClient, make_identity
 from elf_tpu.logging_utils import get_indexed_logger
 from elf_tpu.selfplay.actor import SelfplayActor
-from elf_tpu.selfplay.records import MsgRequest, Records, ThreadState
+from elf_tpu.selfplay.records import (
+    MsgRequest,
+    MsgRequestSeq,
+    Records,
+    ThreadState,
+)
 
 
 class SelfplayClient:
@@ -59,6 +64,7 @@ class SelfplayClient:
         self.batch_stats = None
         self.loaded_ver = -1
         self._ver_cache = {}
+        self._last_seq = -1
 
     # -- control round trips ------------------------------------------------
 
@@ -79,9 +85,33 @@ class SelfplayClient:
         reply = self.transport.send("content", blob)
         if reply is None:
             return None
-        return MsgRequest.from_json(reply)
+        # sequenced replies (record.h:152): a gap means we missed requests
+        # (reconnect / server restart) — log and resync
+        rs = MsgRequestSeq.from_json(reply)
+        if self._last_seq >= 0 and rs.seq != self._last_seq + 1:
+            self.logger.warning(
+                "request seq jump: %d -> %d (missed/stale requests)",
+                self._last_seq, rs.seq,
+            )
+        self._last_seq = rs.seq
+        return rs.request
 
     def _maybe_reload(self, req: MsgRequest) -> None:
+        # server-driven MCTS options (restart() rebuilds AIs with
+        # request.vers.mcts_opt, game_selfplay.cc:164): apply to whichever
+        # actor will play this job
+        if req.vers.mcts_opt is not None and not req.vers.wait():
+            target = (
+                self.actor
+                if req.vers.is_selfplay() or self.eval_actor is None
+                else self.eval_actor
+            )
+            if target.apply_ts_options(req.vers.mcts_opt):
+                self.logger.info(
+                    "applied server mcts_opt: rollouts=%d eps=%.3f",
+                    req.vers.mcts_opt.total_rollouts,
+                    req.vers.mcts_opt.root_epsilon,
+                )
         ver = req.vers.black_ver
         if ver >= 0 and ver != self.loaded_ver:
             for attempt in range(60):
@@ -110,6 +140,8 @@ class SelfplayClient:
         # not baked into the jitted move_fn)
         self.actor.resign_thres = req.client_ctrl.resign_thres
         self.actor.never_resign_prob = req.client_ctrl.never_resign_prob
+        n_used = req.client_ctrl.num_game_thread_used
+        self.actor.set_active_boards(n_used if n_used >= 0 else None)
 
     # -- eval games ---------------------------------------------------------
 

@@ -61,35 +61,47 @@ class WinCount:
 
 
 class BatchRequest:
-    """Half of an evaluation: registered clients -> one settled result each
-    (fair_pick.h:129).  Stuck clients tracked via the ClientManager."""
+    """Half of an evaluation (fair_pick.h:129) with PER-GAME accounting: a
+    registered client may settle any number of games until the half fills.
+
+    The reference settles one result per registration because its unit is
+    a whole 32-thread client process; our unit is a lockstep [B]-board
+    shard that ships B records — per-identity accounting would discard
+    B-1 of them and a 1-client fleet could never finish a 400-game eval.
+    The win-rate-bound semantics (n_done + n_stuck vs max) are preserved."""
 
     def __init__(self, max_num_request: int):
         self.max_num_request = max_num_request
-        self.requests: Dict[str, Optional[float]] = {}  # identity -> reward
+        self.registered: Dict[str, int] = {}  # identity -> #results settled
         self.win_count = WinCount()
 
+    def is_full(self) -> bool:
+        return (
+            self.win_count.n_done + self.win_count.n_stuck
+            >= self.max_num_request
+        )
+
     def register(self, identity: str) -> bool:
-        """True if this client should play for this half."""
-        if identity in self.requests:
-            return self.requests[identity] is None  # still waiting
-        if len(self.requests) >= self.max_num_request:
+        """True if this client should (keep) play(ing) for this half."""
+        if self.is_full():
             return False
-        self.requests[identity] = None
+        self.registered.setdefault(identity, 0)
         return True
 
     def add_result(self, identity: str, reward: float) -> bool:
-        if identity not in self.requests or self.requests[identity] is not None:
+        if identity not in self.registered or self.is_full():
             return False
-        self.requests[identity] = reward
+        self.registered[identity] += 1
         self.win_count.add(reward)
         return True
 
     def check_stuck(self, is_client_dead) -> None:
+        # a dead client that returned nothing shrinks the denominator by
+        # one expected game (fair_pick.h:168 STUCK semantics)
         n_stuck = sum(
             1
-            for ident, r in self.requests.items()
-            if r is None and is_client_dead(ident)
+            for ident, n in self.registered.items()
+            if n == 0 and is_client_dead(ident)
         )
         self.win_count.n_stuck = n_stuck
 
@@ -106,11 +118,16 @@ class ModelPerf:
         self.noswap = BatchRequest(half)
         self.swap = BatchRequest(half)
         self.decided: Optional[WinEstimate] = None
+        self._next_swap = False  # alternate halves across assignments
 
     def fill_in_request(self, identity: str, req: MsgRequest) -> bool:
-        """Try to register the client for either half; True if assigned."""
-        for swap, batch in ((False, self.noswap), (True, self.swap)):
+        """Register the client for a half, alternating swap/noswap so
+        colors stay balanced under per-game accounting; True if assigned."""
+        first = self._next_swap
+        for swap in (first, not first):
+            batch = self.swap if swap else self.noswap
             if batch.register(identity):
+                self._next_swap = not swap
                 req.vers.black_ver = self.candidate
                 req.vers.white_ver = self.baseline
                 req.client_ctrl.player_swap = swap
@@ -158,8 +175,11 @@ class ModelPerf:
 
 
 class EvalSubCtrl:
-    def __init__(self, opts: ControlOptions):
+    def __init__(self, opts: ControlOptions, mcts_opt=None):
         self.opts = opts
+        # server-side MCTS options: eval jobs ship the noise-free variant
+        # (ctrl_eval.h:233-236 strips root noise on the SERVER)
+        self.mcts_opt = mcts_opt.noise_free() if mcts_opt is not None else None
         self.baseline = -1
         self.perfs: Dict[Tuple[int, int], ModelPerf] = {}
         self.pending: List[int] = []  # candidate queue
@@ -192,6 +212,8 @@ class EvalSubCtrl:
                 if perf and perf.decided is None and perf.fill_in_request(
                     identity, req
                 ):
+                    if self.mcts_opt is not None:
+                        req.vers.mcts_opt = self.mcts_opt
                     return True
             return False
 

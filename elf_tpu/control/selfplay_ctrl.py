@@ -153,8 +153,11 @@ class SelfPlayRecord:
 
 
 class SelfPlaySubCtrl:
-    def __init__(self, opts: ControlOptions):
+    def __init__(self, opts: ControlOptions, mcts_opt=None):
         self.opts = opts
+        # server-driven MCTS options shipped inside every selfplay request
+        # (ModelPair.mcts_opt, model_pair.h:10)
+        self.mcts_opt = mcts_opt
         self.records: Dict[int, SelfPlayRecord] = {}
         self.cur_ver = -1
         self.resign_calc = ResignThresholdCalculator(
@@ -243,8 +246,15 @@ class SelfPlaySubCtrl:
         with self.lock:
             req.vers.black_ver = self.cur_ver
             req.vers.white_ver = -1
+            if self.mcts_opt is not None:
+                req.vers.mcts_opt = self.mcts_opt
             req.client_ctrl.resign_thres = self.resign_calc.threshold
             req.client_ctrl.never_resign_prob = self.opts.never_resign_prob
+            # async self-play: games continue across model versions
+            # (ctrl_selfplay.h:263 msg->client_ctrl.async)
+            req.client_ctrl.async_mode = getattr(
+                self.opts, "selfplay_async", False
+            )
 
     def info(self) -> str:
         with self.lock:

@@ -30,7 +30,7 @@ from elf_tpu.control.eval_ctrl import EvalSubCtrl
 from elf_tpu.control.selfplay_ctrl import SelfPlaySubCtrl
 from elf_tpu.control.transport import ControlServer
 from elf_tpu.logging_utils import get_indexed_logger
-from elf_tpu.selfplay.records import MsgRequest, Records
+from elf_tpu.selfplay.records import MsgRequest, MsgRequestSeq, Records
 from elf_tpu.training.replay import ReplayBuffer
 
 
@@ -44,14 +44,18 @@ class TrainServer:
         replay_seed: int = 0,
         record_sink: Optional[Callable] = None,
         journal_dir: str = "",
+        mcts_opt=None,
     ):
+        """mcts_opt: a records.TSOptions shipped inside every request's
+        ModelPair — the server drives rollout counts / noise / puct per
+        job (model_pair.h:10); eval requests get the noise-free variant."""
         self.opts = opts
         self.logger = get_indexed_logger("control.TrainServer-")
         self.clients = ClientManager(
             opts.expected_num_clients, opts.client_max_delay_sec
         )
-        self.selfplay = SelfPlaySubCtrl(opts)
-        self.eval = EvalSubCtrl(opts)
+        self.selfplay = SelfPlaySubCtrl(opts, mcts_opt=mcts_opt)
+        self.eval = EvalSubCtrl(opts, mcts_opt=mcts_opt)
         self.replay = ReplayBuffer(replay_opts, seed=replay_seed)
         # where accepted selfplay records go (default: raw replay insert;
         # the learner passes TrainingPipeline.insert_record to get
@@ -135,7 +139,11 @@ class TrainServer:
             pass
         else:
             self.selfplay.fill_in_request(req)
-        return req.to_json()
+        # sequence every reply so clients detect stale/changed requests
+        # (record.h:152 MsgRequestSeq; game_ctrl.h:344 OnReply incSeq)
+        seq = c.seq
+        c.seq += 1
+        return MsgRequestSeq(seq=seq, request=req).to_json()
 
     # -- model plane --------------------------------------------------------
 

@@ -160,6 +160,10 @@ class SelfplayActor:
         self._dump_count = 0
         # persistent search tree (device arrays), created lazily
         self.tree = None
+        # ClientCtrl.num_game_thread_used (record.h:31): boards >= this
+        # index are frozen (the reference marks surplus game threads as
+        # wait, dispatcher_callback.h:27); None = all boards active
+        self.active_boards: Optional[int] = None
 
     def _make_fresh_state(self, B: int):
         """Initial game state: handicap and/or SGF-preload applied."""
@@ -180,6 +184,31 @@ class SelfplayActor:
             for mv in moves:
                 state, _ = step(state, np.full((B,), mv, np.int32), self.size)
         return state
+
+    def set_active_boards(self, n: Optional[int]) -> None:
+        """Freeze board slots >= n (ClientCtrl.num_game_thread_used)."""
+        self.active_boards = (
+            n if n is not None and 0 <= n < self.cfg.batch else None
+        )
+
+    def apply_ts_options(self, ts) -> bool:
+        """Apply server-sent MCTS options (records.TSOptions inside
+        ModelPair, model_pair.h:10): rollout budget, noise, puct, pick
+        method, persistent tree.  Rebuilds the jitted move fn only when
+        something actually changed.  Returns True on rebuild."""
+        new_mcfg = dataclasses.replace(
+            self.mcts_cfg, komi=self.cfg.komi, **ts.as_mcts_kwargs()
+        )
+        new_cfg = dataclasses.replace(
+            self.cfg, persistent_tree=bool(ts.persistent_tree)
+        )
+        if new_mcfg == self.mcts_cfg and new_cfg == self.cfg:
+            return False
+        self.mcts_cfg = new_mcfg
+        self.cfg = new_cfg
+        self._move_fn = None
+        self.tree = None
+        return True
 
     def finished_all(self) -> bool:
         """True when every slot reached num_games_per_thread
@@ -309,6 +338,12 @@ class SelfplayActor:
         for _ in range(n_moves):
             self.key, k = jax.random.split(self.key)
             nr = jnp.asarray(self.never_resign)
+            if self.active_boards is not None:
+                inact = np.zeros(B, bool)
+                inact[self.active_boards:] = True
+                self.state = self.state._replace(
+                    terminated=self.state.terminated | jnp.asarray(inact)
+                )
             # host reads of the pre-move state MUST happen before the call:
             # its buffers are donated into move_fn
             was_terminated = np.asarray(self.state.terminated)

@@ -26,11 +26,77 @@ import numpy as np
 
 
 @dataclasses.dataclass
+class TSOptions:
+    """MCTS options on the wire (tree_search_options.h:77 TSOptions).
+
+    Reference JSON field names, including the num_threads x
+    rollouts_per_thread split (our array MCTS runs their product as one
+    lockstep budget) and the nested alg_opt {c_puct}.  Shipping these
+    inside ModelPair lets the SERVER drive rollout counts / noise / puct
+    per job — eval games are noise-free because the server says so
+    (ctrl_eval.h:233), not by client-side hardcoding."""
+
+    num_threads: int = 16
+    num_rollouts_per_thread: int = 100
+    num_rollouts_per_batch: int = 8
+    persistent_tree: bool = False
+    root_epsilon: float = 0.0
+    root_alpha: float = 0.03
+    virtual_loss: int = 0
+    pick_method: str = "most_visited"
+    c_puct: float = 1.5           # alg_opt.c_puct (tree_search_options.h:23)
+
+    @property
+    def total_rollouts(self) -> int:
+        return self.num_threads * self.num_rollouts_per_thread
+
+    def noise_free(self) -> "TSOptions":
+        """The eval variant (ctrl_eval.h:234-236)."""
+        return dataclasses.replace(self, root_epsilon=0.0, root_alpha=0.0)
+
+    def as_mcts_kwargs(self) -> Dict[str, Any]:
+        """kwargs for dataclasses.replace on a search MCTSConfig."""
+        return dict(
+            num_rollouts=self.total_rollouts,
+            rollouts_per_batch=self.num_rollouts_per_batch,
+            c_puct=self.c_puct,
+            virtual_loss=self.virtual_loss,
+            root_epsilon=self.root_epsilon,
+            root_alpha=self.root_alpha,
+            pick_method=self.pick_method,
+        )
+
+    def to_json(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        del d["c_puct"]
+        d["alg_opt"] = {"c_puct": self.c_puct}
+        return d
+
+    @classmethod
+    def from_json(cls, d: Dict[str, Any]) -> "TSOptions":
+        base = cls()
+        return cls(
+            int(d.get("num_threads", base.num_threads)),
+            int(d.get("num_rollouts_per_thread",
+                      base.num_rollouts_per_thread)),
+            int(d.get("num_rollouts_per_batch", base.num_rollouts_per_batch)),
+            bool(d.get("persistent_tree", base.persistent_tree)),
+            float(d.get("root_epsilon", base.root_epsilon)),
+            float(d.get("root_alpha", base.root_alpha)),
+            int(d.get("virtual_loss", base.virtual_loss)),
+            str(d.get("pick_method", base.pick_method)),
+            float(d.get("alg_opt", {}).get("c_puct", base.c_puct)),
+        )
+
+
+@dataclasses.dataclass
 class ModelPair:
-    """(black_ver, white_ver); -1 white = selfplay (model_pair.h:7)."""
+    """(black_ver, white_ver, mcts_opt); -1 white = selfplay
+    (model_pair.h:7-10)."""
 
     black_ver: int = -1
     white_ver: int = -1
+    mcts_opt: Optional[TSOptions] = None
 
     def wait(self) -> bool:
         return self.black_ver < 0
@@ -39,11 +105,19 @@ class ModelPair:
         return self.black_ver >= 0 and self.white_ver == -1
 
     def to_json(self) -> Dict[str, Any]:
-        return {"black_ver": self.black_ver, "white_ver": self.white_ver}
+        d = {"black_ver": self.black_ver, "white_ver": self.white_ver}
+        if self.mcts_opt is not None:
+            d["mcts_opt"] = self.mcts_opt.to_json()
+        return d
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "ModelPair":
-        return cls(int(d.get("black_ver", -1)), int(d.get("white_ver", -1)))
+        mo = d.get("mcts_opt")
+        return cls(
+            int(d.get("black_ver", -1)),
+            int(d.get("white_ver", -1)),
+            TSOptions.from_json(mo) if mo is not None else None,
+        )
 
 
 @dataclasses.dataclass
@@ -85,6 +159,25 @@ class MsgRequest:
         return cls(
             ModelPair.from_json(d.get("vers", {})),
             ClientCtrl.from_json(d.get("client_ctrl", {})),
+        )
+
+
+@dataclasses.dataclass
+class MsgRequestSeq:
+    """record.h:152: a sequenced request so clients detect stale/changed
+    replies (the server increments per-client seq on every reply)."""
+
+    seq: int = -1
+    request: MsgRequest = dataclasses.field(default_factory=MsgRequest)
+
+    def to_json(self) -> Dict[str, Any]:
+        return {"seq": self.seq, "request": self.request.to_json()}
+
+    @classmethod
+    def from_json(cls, d: Dict[str, Any]) -> "MsgRequestSeq":
+        return cls(
+            int(d.get("seq", -1)),
+            MsgRequest.from_json(d.get("request", {})),
         )
 
 

@@ -45,6 +45,110 @@ def fake_record(ver=0, white_ver=-1, reward=1.0, swap=False, values=None,
     )
 
 
+class TestWireProtocol:
+    def test_ts_options_roundtrip(self):
+        from elf_tpu.selfplay.records import TSOptions
+
+        ts = TSOptions(num_threads=8, num_rollouts_per_thread=200,
+                       root_epsilon=0.25, root_alpha=0.03, c_puct=0.85,
+                       persistent_tree=True, virtual_loss=5)
+        d = ts.to_json()
+        # reference field layout: alg_opt nests c_puct
+        assert d["alg_opt"]["c_puct"] == 0.85
+        assert "c_puct" not in d
+        ts2 = TSOptions.from_json(d)
+        assert ts2 == ts
+        assert ts2.total_rollouts == 1600
+        nf = ts2.noise_free()
+        assert nf.root_epsilon == 0.0 and nf.root_alpha == 0.0
+        assert nf.total_rollouts == 1600
+
+    def test_model_pair_mcts_opt_roundtrip(self):
+        from elf_tpu.selfplay.records import TSOptions
+
+        mp = ModelPair(black_ver=3, white_ver=-1,
+                       mcts_opt=TSOptions(num_threads=2))
+        mp2 = ModelPair.from_json(mp.to_json())
+        assert mp2.mcts_opt is not None
+        assert mp2.mcts_opt.num_threads == 2
+        # reference records without mcts_opt still parse
+        assert ModelPair.from_json({"black_ver": 1, "white_ver": -1}).mcts_opt is None
+
+    def test_msg_request_seq_roundtrip(self):
+        from elf_tpu.selfplay.records import MsgRequestSeq
+
+        rs = MsgRequestSeq(seq=7, request=MsgRequest(
+            vers=ModelPair(black_ver=1)))
+        rs2 = MsgRequestSeq.from_json(rs.to_json())
+        assert rs2.seq == 7 and rs2.request.vers.black_ver == 1
+
+    def test_server_sequences_and_drives_mcts(self):
+        """The server ships mcts_opt in every request (noise-free for eval
+        jobs, ctrl_eval.h:233) and sequences replies per client."""
+        from elf_tpu.selfplay.records import MsgRequestSeq, TSOptions
+
+        opts = ControlOptions(expected_num_clients=2, eval_num_games=4,
+                              selfplay_async=True)
+        ropts = ReplayOptions(num_reader=2, q_min_size=1, q_max_size=50)
+        ts = TSOptions(num_threads=8, num_rollouts_per_thread=25,
+                       root_epsilon=0.25, root_alpha=0.03)
+        server = TrainServer(opts, ropts, port=0, mcts_opt=ts)
+        try:
+            server.set_initial_version(0)
+            # client c_eval polls twice: seq increments
+            r0 = MsgRequestSeq.from_json(server.on_reply("c_eval"))
+            r1 = MsgRequestSeq.from_json(server.on_reply("c_eval"))
+            assert (r0.seq, r1.seq) == (0, 1)
+            # selfplay request: noise + async flag from the server
+            assert r0.request.vers.is_selfplay()
+            assert r0.request.vers.mcts_opt.root_epsilon == 0.25
+            assert r0.request.client_ctrl.async_mode
+            # queue a candidate: the eval-capable client gets a noise-free
+            # eval job
+            server.eval.add_new_model_for_evaluation(10)
+            r2 = MsgRequestSeq.from_json(server.on_reply("c_eval"))
+            assert not r2.request.vers.is_selfplay()
+            assert r2.request.vers.black_ver == 10
+            assert r2.request.vers.mcts_opt.root_epsilon == 0.0
+            assert r2.request.vers.mcts_opt.total_rollouts == 200
+        finally:
+            server.stop()
+
+    def test_eval_per_game_accounting(self):
+        """A single [B]-board client settles MANY eval games per half — the
+        per-identity accounting discarded B-1 lockstep records and made a
+        400-game eval unfinishable for small fleets (fair_pick.h:129)."""
+        from elf_tpu.control.eval_ctrl import BatchRequest
+
+        br = BatchRequest(max_num_request=8)
+        assert br.register("c0")
+        for k in range(8):
+            assert br.add_result("c0", 1.0 if k % 2 else -1.0)
+        assert br.is_full()
+        assert not br.add_result("c0", 1.0)   # half full: overshoot dropped
+        assert not br.register("c1")
+        assert br.win_count.n_done == 8
+
+    def test_actor_applies_ts_options(self):
+        from elf_tpu.selfplay.records import TSOptions
+        from elf_tpu.search.mcts import MCTSConfig
+
+        actor = SelfplayActor(
+            ActorConfig(board_size=5, batch=2),
+            MCTSConfig(num_rollouts=8, rollouts_per_batch=2),
+            eval_fn_builder=lambda p, b: None,
+        )
+        ts = TSOptions(num_threads=2, num_rollouts_per_thread=8,
+                       num_rollouts_per_batch=4, root_epsilon=0.25,
+                       c_puct=0.85, persistent_tree=True)
+        assert actor.apply_ts_options(ts)
+        assert actor.mcts_cfg.num_rollouts == 16
+        assert actor.mcts_cfg.c_puct == 0.85
+        assert actor.cfg.persistent_tree
+        # idempotent: same options -> no rebuild
+        assert not actor.apply_ts_options(ts)
+
+
 class TestSubControllers:
     def test_selfplay_version_gate(self):
         opts = ControlOptions(selfplay_init_num=2, selfplay_update_num=3)

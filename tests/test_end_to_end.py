@@ -104,8 +104,12 @@ def test_full_actor_learner_loop():
             assert server.selfplay.version() == ver, "promotion did not happen"
             assert server.eval.baseline == ver
 
-            # a fresh client request now carries the new version
-            req = MsgRequest.from_json(server.on_reply("late-client"))
-            assert req.vers.black_ver in (ver,)  # selfplay or eval for ver
+            # a fresh client request now carries the new version (replies
+            # are sequenced, record.h:152)
+            from elf_tpu.selfplay.records import MsgRequestSeq
+
+            rs = MsgRequestSeq.from_json(server.on_reply("late-client"))
+            assert rs.seq == 0
+            assert rs.request.vers.black_ver in (ver,)
         finally:
             server.stop()
