@@ -141,6 +141,114 @@ def bench_mcts_rollouts(B=16, rollouts=64, m=8, blocks=20, dim=256):
     return B * rollouts * n / dt
 
 
+def _fwd_flops(batch, size=19, planes=18, blocks=20, dim=256, num_actions=362):
+    """Forward FLOPs of the 20b256c net (2 x MACs), conv-dominated."""
+    n2 = size * size
+    f = n2 * 9 * planes * dim * 2                 # init conv
+    f += 2 * blocks * n2 * 9 * dim * dim * 2      # residual trunk
+    f += n2 * dim * 2 * 2 + n2 * 2 * num_actions * 2   # policy head
+    f += n2 * dim * 1 * 2 + n2 * 256 * 2          # value head
+    return f * batch
+
+
+def _is_oom(e: Exception) -> bool:
+    return "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e)
+
+
+def bench_selfplay_prod(B=1024, rollouts=1600, m=8, blocks=20, dim=256):
+    """Self-play at the production operating point: B lockstep boards x
+    `rollouts` per move at 20b256c bf16 — the reference client plays 32
+    games x 8 threads x 200 rollouts per GPU (start_client.sh:11-29); one
+    chip runs the whole fleet shard as one array program.
+    persistent_tree off matches the reference prod TSOptions default.
+
+    Returns (moves_per_sec, rollouts_per_sec, games_per_hour_est)."""
+    from elf_tpu.models.resnet import ModelConfig, PolicyValueNet
+    from elf_tpu.search.mcts import MCTSConfig
+    from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
+
+    cfg = ModelConfig(board_size=19, num_planes=18, num_block=blocks, dim=dim)
+    model = PolicyValueNet(cfg)
+    x = jnp.zeros((1, 19, 19, 18))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+
+    def eval_builder(params, batch_stats):
+        def eval_fn(feats, to_play):
+            return model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                feats, train=False,
+            )
+        return eval_fn
+
+    acfg = ActorConfig(board_size=19, batch=B, persistent_tree=False,
+                       policy_distri_cutoff=30)
+    mcfg = MCTSConfig(
+        num_rollouts=rollouts, rollouts_per_batch=m, c_puct=0.85,
+        virtual_loss=5, root_epsilon=0.25, root_alpha=0.03,
+        ply_pass_enabled=160, rotation_flip=True,
+    )
+    actor = SelfplayActor(acfg, mcfg, eval_builder, seed=0)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    actor.play_moves(params, batch_stats, 1)      # compile + warm
+    t0 = time.perf_counter()
+    actor.play_moves(params, batch_stats, 1)
+    dt = time.perf_counter() - t0
+    moves_ps = B / dt
+    return moves_ps, B * rollouts / dt, moves_ps / 450.0 * 3600.0
+
+
+def bench_train_step(bs=2048, blocks=20, dim=256, iters=4):
+    """Train-step throughput at the reference server operating point
+    (start_server.sh:10: batchsize 2048, 20b256c) with block remat.
+
+    Returns (achieved_bs, steps_per_sec, achieved_tflops)."""
+    from elf_tpu.config import TrainOptions
+    from elf_tpu.models.resnet import ModelConfig
+    from elf_tpu.training.trainer import Trainer
+
+    floor = min(bs, 256)
+    while bs >= floor:
+        try:
+            cfg = ModelConfig(board_size=19, num_planes=18, num_block=blocks,
+                              dim=dim, remat=True)
+            opts = TrainOptions(batchsize=bs, num_block=blocks, dim=dim)
+            trainer = Trainer(cfg, opts)
+            state = trainer.init_state(jax.random.PRNGKey(0))
+            step = jax.jit(trainer.make_train_step(), donate_argnums=(0,))
+            k = jax.random.PRNGKey(1)
+            feats = jax.random.uniform(k, (bs, 19, 19, 18))
+            pi = jnp.full((bs, 362), 1.0 / 362.0)
+            winner = jnp.ones((bs,))
+            state, _ = step(state, feats, pi, winner)   # compile
+            jax.block_until_ready(state.params)
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                state, stats = step(state, feats, pi, winner)
+            jax.block_until_ready(state.params)
+            dt = time.perf_counter() - t0
+            sps = iters / dt
+            # fwd + bwd + remat-recompute ~ 4x forward FLOPs
+            tflops = 4 * _fwd_flops(bs, blocks=blocks, dim=dim) * sps / 1e12
+            return bs, sps, tflops
+        except Exception as e:  # noqa: BLE001
+            if _is_oom(e) and bs > floor:
+                print(f"# train bs={bs} OOM; halving", file=sys.stderr)
+                bs //= 2
+                continue
+            raise
+    return 0, 0.0, 0.0
+
+
+def _hbm_info() -> str:
+    try:
+        st = jax.local_devices()[0].memory_stats()
+        lim = st.get("bytes_limit", 0) / 2**30
+        used = st.get("peak_bytes_in_use", st.get("bytes_in_use", 0)) / 2**30
+        return f"{used:.1f}/{lim:.1f} GiB"
+    except Exception:  # noqa: BLE001
+        return "n/a"
+
+
 def main():
     from elf_tpu.cache import enable_compilation_cache
 
@@ -166,6 +274,37 @@ def main():
         )
     except Exception as e:  # noqa: BLE001
         print(f"# MCTS bench failed: {e}", file=sys.stderr)
+    # --- production operating points (VERDICT r1 #1) ---
+    try:
+        bs, sps, tflops = bench_train_step()
+        print(
+            f"# train step (20b256c, remat, bs={bs}): {sps:.3f} steps/s, "
+            f"{tflops:,.1f} TFLOP/s, {sps * bs:,.0f} samples/s "
+            f"[hbm {_hbm_info()}]",
+            file=sys.stderr,
+        )
+    except Exception as e:  # noqa: BLE001
+        print(f"# train bench failed: {e}", file=sys.stderr)
+    try:
+        B = 1024
+        while B >= 128:
+            try:
+                mps, rps, gph = bench_selfplay_prod(B=B)
+                print(
+                    f"# selfplay prod (19x19, B={B}, 1600 rollouts, 20b256c): "
+                    f"{mps:,.1f} moves/s, {rps:,.0f} rollouts/s, "
+                    f"~{gph:,.0f} games/hour/chip [hbm {_hbm_info()}]",
+                    file=sys.stderr,
+                )
+                break
+            except Exception as e:  # noqa: BLE001
+                if _is_oom(e) and B > 128:
+                    print(f"# selfplay B={B} OOM; halving", file=sys.stderr)
+                    B //= 2
+                    continue
+                raise
+    except Exception as e:  # noqa: BLE001
+        print(f"# selfplay prod bench failed: {e}", file=sys.stderr)
     print(f"# total bench time: {time.time()-t_all:.1f}s", file=sys.stderr)
     print(
         json.dumps(

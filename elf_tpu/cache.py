@@ -11,6 +11,19 @@ from __future__ import annotations
 import os
 
 
+def pin_platform_from_env() -> None:
+    """Make JAX_PLATFORMS authoritative even when a sitecustomize pinned a
+    different platform at interpreter start (the env var alone is read too
+    early to override it; `jax.config.update` after import wins).  Call
+    early in every entry script so JAX_PLATFORMS=cpu subprocess tests do
+    not silently grab the real accelerator."""
+    p = os.environ.get("JAX_PLATFORMS")
+    if p:
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def enable_compilation_cache(directory: str | None = None) -> str:
     import jax
 

@@ -117,7 +117,7 @@ class AnalysisDriver:
         """Run one search at the current position; returns (action, root_q,
         suggestions, tree)."""
         if self.tree is None:
-            cap = 2 * self.mcts_cfg.num_rollouts + 2
+            cap = self.mcts_cfg.max_nodes or (2 * self.mcts_cfg.num_rollouts + 2)
             self.tree = fresh_tree(1, self.size, max(cap, 3), self.state.core)
         self.key, k = jax.random.split(self.key)
         res, tree = self._search()(

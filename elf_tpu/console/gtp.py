@@ -130,7 +130,7 @@ class GtpEngine:
         if self.tree is None:
             from elf_tpu.search.mcts import fresh_tree
 
-            cap = 2 * self.mcts_cfg.num_rollouts + 2
+            cap = self.mcts_cfg.max_nodes or (2 * self.mcts_cfg.num_rollouts + 2)
             self.tree = fresh_tree(1, self.size, max(cap, 3), self.state.core)
         res, tree = self._search_fn()(
             self.state.core, self.state.stone_hist, self.state.hist_len,

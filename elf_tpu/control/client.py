@@ -183,7 +183,12 @@ class SelfplayClient:
         moves_per_round: int = 16,
         max_rounds: Optional[int] = None,
         stop_fn: Optional[Callable[[], bool]] = None,
+        profiler=None,
     ) -> None:
+        if profiler is None:
+            from elf_tpu.profiling import Profiler
+
+            profiler = Profiler()  # stage timers only
         rounds = 0
         pending = []
         while max_rounds is None or rounds < max_rounds:
@@ -201,14 +206,17 @@ class SelfplayClient:
                     time.sleep(1.0)
                 continue
             if self.request.vers.is_selfplay() or self.eval_actor is None:
-                recs = self.actor.play_moves(
-                    self.params, self.batch_stats, moves_per_round,
-                    request=self.request,
-                )
+                with profiler.phase("selfplay_moves"):
+                    recs = self.actor.play_moves(
+                        self.params, self.batch_stats, moves_per_round,
+                        request=self.request,
+                    )
             else:
-                recs = self._play_eval_round(moves_per_round)
+                with profiler.phase("eval_moves"):
+                    recs = self._play_eval_round(moves_per_round)
             pending.extend(recs)
-            req = self._ship(pending)
+            with profiler.phase("ship_records"):
+                req = self._ship(pending)
             if req is not None:
                 pending = []
                 self._maybe_reload(req)
@@ -216,3 +224,5 @@ class SelfplayClient:
                 # server unreachable: keep records, back off
                 # (15-min resend watchdog analog, distri_client.h:42)
                 time.sleep(5.0)
+            if rounds % 50 == 0:
+                self.logger.info("%s", profiler.report())

@@ -153,6 +153,15 @@ class TrainServer:
         self.eval.set_baseline(ver)
         self._initial_ver_seen = True
 
+    def set_eval_mode(self, new_ver: int, old_ver: int) -> None:
+        """ThreadedCtrl::setEvalMode (game_ctrl.h:131): evaluate new_ver
+        against the old_ver baseline instead of starting self-play — the
+        --eval_old_model path (train.py:60)."""
+        self.selfplay.set_version(old_ver)
+        self.eval.set_baseline(old_ver)
+        self.eval.add_new_model_for_evaluation(new_ver)
+        self._initial_ver_seen = True
+
     def notify_new_version(self, old_ver: int, new_ver: int) -> None:
         """ThreadedCtrl::addNewModelForEvaluation (game_ctrl.h:118): queue
         the candidate for evaluation, then BLOCK the learner until enough

@@ -40,6 +40,11 @@ class ModelConfig:
     value_hidden: int = 256
     bn_momentum: float = 0.0   # torch convention (df_model3 default 0.0)
     use_bf16: bool = True
+    # rematerialize residual blocks in the backward pass: activations are
+    # recomputed instead of stored, trading ~1/3 more FLOPs for O(blocks)
+    # less HBM — required to fit the reference's bs=2048 train step
+    # (start_server.sh:10) on a single chip
+    remat: bool = False
 
     @property
     def num_actions(self) -> int:
@@ -102,8 +107,11 @@ class PolicyValueNet(nn.Module):
                          dtype=jnp.float32, name="init_bn")(h)
         h = nn.relu(h).astype(dtype)
 
+        block_cls = (
+            nn.remat(ResBlock, static_argnums=(2,)) if cfg.remat else ResBlock
+        )
         for i in range(cfg.num_block):
-            h = ResBlock(cfg.dim, m, dtype, name=f"block{i}")(h, train)
+            h = block_cls(cfg.dim, m, dtype, name=f"block{i}")(h, train)
 
         # policy head (df_model3.py:288: 1x1 conv to 2 ch -> linear)
         p = nn.Conv(2, (1, 1), use_bias=True, dtype=dtype, name="pi_conv")(h)

@@ -79,4 +79,4 @@ class Profiler:
         return wrapped
 
     def report(self) -> str:
-        return self.timer.print("profile")
+        return "profile: " + self.timer.print()

@@ -95,10 +95,17 @@ class MCTSConfig:
     # asymmetric exploration for the white mover (go_game_specific.h:89
     # white_puct; -1 = same as c_puct) — used by eval games
     white_puct: float = -1.0
+    # PUCT exploration term on/off (SearchAlgoOptions.use_prior,
+    # tree_search_options.h:24; scoring at tree_search_node.h:379:
+    # score = q only when off)
+    use_prior: bool = True
+    # tree capacity override (TSOptions max_num_moves-adjacent knob the
+    # reference exposes as --mcts_max_nodes); 0 = num_rollouts + 2
+    max_nodes: int = 0
 
     @property
     def num_nodes(self) -> int:
-        return self.num_rollouts + 2
+        return self.max_nodes if self.max_nodes > 0 else self.num_rollouts + 2
 
 
 class Tree(NamedTuple):
@@ -284,6 +291,9 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
     w_eff = w * sign - vl
     q = jnp.where(n_eff > 0, w_eff / jnp.maximum(n_eff, 1.0), 0.0)
 
+    if not cfg.use_prior:
+        # tree_search_node.h:379: score = q alone when use_prior is off
+        return jnp.where(legal, q, NEG_INF)
     total = jnp.sum(n_eff, axis=1, keepdims=True)
     c = cfg.c_puct
     if cfg.white_puct > 0:

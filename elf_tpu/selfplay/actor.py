@@ -65,6 +65,12 @@ class ActorConfig:
     # emitted records contain only the moves played after the preload
     preload_sgf: str = ""
     preload_sgf_move_to: int = -1
+    # store the full MCTS visit distribution for EVERY ply, not just the
+    # diverse-sampling plies below the cutoff (go_game_specific.h:65;
+    # gate at game_selfplay.cc:89).  Off (the reference default), later
+    # plies train on the one-hot of the played move (game_feature.h:107
+    # extractMCTSPi fallback).
+    policy_distri_training_for_all: bool = False
 
 
 def make_pair_eval_builder(eval_raw):
@@ -348,11 +354,14 @@ class SelfplayActor:
             # its buffers are donated into move_fn
             was_terminated = np.asarray(self.state.terminated)
             to_play_before = np.asarray(self.state.core.to_play)
+            ply_before = np.asarray(self.state.core.ply)
             if cfg.persistent_tree:
                 if self.tree is None:
                     from elf_tpu.search.mcts import fresh_tree
 
-                    capacity = 2 * self.mcts_cfg.num_rollouts + 2
+                    capacity = self.mcts_cfg.max_nodes or (
+                        2 * self.mcts_cfg.num_rollouts + 2
+                    )
                     self.tree = fresh_tree(B, self.size, max(capacity, 3),
                                            self.state.core)
                 new_state, new_tree, out = self._move_fn(
@@ -387,7 +396,15 @@ class SelfplayActor:
                     finished[b] = True
                     continue
                 self.moves[b].append(int(action[b]))
-                self.policies[b].append(policy[b])
+                # visit distribution stored only for diverse plies unless
+                # policy_distri_training_for_all (game_selfplay.cc:89);
+                # None quantizes to an empty CoordRecord -> the training
+                # pipeline falls back to the played move's one-hot
+                store_pi = (
+                    cfg.policy_distri_training_for_all
+                    or int(ply_before[b]) <= cfg.policy_distri_cutoff
+                )
+                self.policies[b].append(policy[b] if store_pi else None)
                 self.values[b].append(float(value[b]))
                 hit_cutoff = (
                     cfg.move_cutoff > 0

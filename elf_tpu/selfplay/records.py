@@ -45,6 +45,7 @@ class TSOptions:
     virtual_loss: int = 0
     pick_method: str = "most_visited"
     c_puct: float = 1.5           # alg_opt.c_puct (tree_search_options.h:23)
+    use_prior: bool = True        # alg_opt.use_prior (:24)
 
     @property
     def total_rollouts(self) -> int:
@@ -64,17 +65,20 @@ class TSOptions:
             root_epsilon=self.root_epsilon,
             root_alpha=self.root_alpha,
             pick_method=self.pick_method,
+            use_prior=self.use_prior,
         )
 
     def to_json(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
         del d["c_puct"]
-        d["alg_opt"] = {"c_puct": self.c_puct}
+        del d["use_prior"]
+        d["alg_opt"] = {"c_puct": self.c_puct, "use_prior": self.use_prior}
         return d
 
     @classmethod
     def from_json(cls, d: Dict[str, Any]) -> "TSOptions":
         base = cls()
+        alg = d.get("alg_opt", {})
         return cls(
             int(d.get("num_threads", base.num_threads)),
             int(d.get("num_rollouts_per_thread",
@@ -85,7 +89,8 @@ class TSOptions:
             float(d.get("root_alpha", base.root_alpha)),
             int(d.get("virtual_loss", base.virtual_loss)),
             str(d.get("pick_method", base.pick_method)),
-            float(d.get("alg_opt", {}).get("c_puct", base.c_puct)),
+            float(alg.get("c_puct", base.c_puct)),
+            bool(alg.get("use_prior", base.use_prior)),
         )
 
 
@@ -181,9 +186,13 @@ class MsgRequestSeq:
         )
 
 
-def quantize_policy(pi: np.ndarray) -> Dict[str, List[int]]:
+def quantize_policy(pi: Optional[np.ndarray]) -> Dict[str, List[int]]:
     """8-bit policy quantization (go_state_ext.h:172-194): prob/max*255,
-    stored sparsely as {indices, values}."""
+    stored sparsely as {indices, values}.  None (a ply whose distribution
+    was not recorded) becomes the empty CoordRecord — consumers fall back
+    to the played move's one-hot (game_feature.h:107)."""
+    if pi is None:
+        return {"idx": [], "q": []}
     mx = float(pi.max()) if pi.size else 0.0
     if mx <= 0:
         return {"idx": [], "q": []}

@@ -57,8 +57,9 @@ def main(argv=None):
         dim=to.dim,
         use_bf16=to.bf16,
     )
-    from elf_tpu.cache import enable_compilation_cache
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
 
+    pin_platform_from_env()
     enable_compilation_cache()
     trainer = Trainer(cfg, to)
     state = trainer.init_state(jax.random.PRNGKey(0))

@@ -42,8 +42,9 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.02)
     args = ap.parse_args(argv)
 
-    from elf_tpu.cache import enable_compilation_cache
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
 
+    pin_platform_from_env()
     enable_compilation_cache()
     size = 19
     replay = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,

@@ -61,8 +61,9 @@ def main(argv=None):
                       dim=args.dim, use_bf16=True)
     to = TrainOptions(batchsize=args.train_bs, num_block=args.blocks,
                       dim=args.dim, lr=0.02, num_cooldown=4)
-    from elf_tpu.cache import enable_compilation_cache
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
 
+    pin_platform_from_env()
     enable_compilation_cache()
     trainer = Trainer(cfg, to)
     eval_raw = trainer.make_eval_fn()

@@ -51,8 +51,9 @@ def main(argv=None):
         board_size=g.board_size, num_planes=18,
         num_block=to.num_block, dim=to.dim, use_bf16=to.bf16,
     )
-    from elf_tpu.cache import enable_compilation_cache
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
 
+    pin_platform_from_env()
     enable_compilation_cache()
     trainer = Trainer(cfg, to)
     template = trainer.init_state(jax.random.PRNGKey(0))

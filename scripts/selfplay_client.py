@@ -41,6 +41,8 @@ def main(argv=None):
     parser = spec.to_argparse()
     parser.add_argument("--ckpt_dir", type=str, required=True)
     parser.add_argument("--moves_per_round", type=int, default=16)
+    parser.add_argument("--max_rounds", type=int, default=0,
+                        help="stop after this many rounds (0 = forever)")
     parser.add_argument("--loglevel", type=str, default="info")
     args = parser.parse_args(argv)
     om = OptionMap(spec, vars(args))
@@ -49,8 +51,9 @@ def main(argv=None):
     to = om.get(TrainOptions)
     co = om.get(ControlOptions)
 
-    from elf_tpu.cache import enable_compilation_cache
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
 
+    pin_platform_from_env()
     enable_compilation_cache()
     configure(args.loglevel)
     logger = get_indexed_logger("scripts.selfplay_client-")
@@ -84,6 +87,7 @@ def main(argv=None):
         num_games_per_thread=g.num_games_per_thread,
         preload_sgf=g.preload_sgf,
         preload_sgf_move_to=g.preload_sgf_move_to,
+        policy_distri_training_for_all=g.policy_distri_training_for_all,
     )
     mcfg = MCTSConfig(
         num_rollouts=mo.num_rollouts,
@@ -94,20 +98,39 @@ def main(argv=None):
         root_alpha=mo.root_alpha,
         komi=g.komi,
         ply_pass_enabled=g.ply_pass_enabled,
+        use_prior=mo.use_prior,
+        max_nodes=mo.max_nodes,
     )
     actor = SelfplayActor(acfg, mcfg, eval_builder, seed=g.seed)
+
+    # eval-capable: a second actor plays candidate-vs-baseline jobs with
+    # noise-free MCTS (the server strips noise in the shipped mcts_opt)
+    import dataclasses as _dc
+
+    from elf_tpu.selfplay.actor import make_pair_eval_builder
+
+    eval_actor = SelfplayActor(
+        _dc.replace(acfg, never_resign_prob=1.0, resign_thres=0.0),
+        _dc.replace(mcfg, root_epsilon=0.0, root_alpha=0.0),
+        make_pair_eval_builder(eval_raw),
+        seed=g.seed + 1,
+    )
 
     def load_params(ver: int):
         path = os.path.join(args.ckpt_dir, f"save-{ver}.bin")
         state = load_checkpoint(path, template=template)
         return state.params, state.batch_stats
 
-    client = SelfplayClient(co, actor, load_params, port=co.port)
+    client = SelfplayClient(
+        co, actor, load_params, port=co.port, eval_actor=eval_actor,
+        cheat_eval_new_model_wins_half=g.cheat_eval_new_model_wins_half,
+    )
     logger.info(
         "client %s -> %s:%d (B=%d, %d rollouts)",
         client.identity, co.server_addr, co.port, g.num_games, mo.num_rollouts,
     )
-    client.run(moves_per_round=args.moves_per_round)
+    client.run(moves_per_round=args.moves_per_round,
+               max_rounds=args.max_rounds if args.max_rounds > 0 else None)
 
 
 if __name__ == "__main__":

@@ -36,8 +36,11 @@ from elf_tpu.control.server import TrainServer
 
 
 def main(argv=None):
+    from elf_tpu.config import MCTSOptions
+
     spec = OptionSpec.from_dataclasses(
-        [GameOptions, TrainOptions, ReplayOptions, ControlOptions]
+        [GameOptions, MCTSOptions, TrainOptions, ReplayOptions,
+         ControlOptions]
     )
     parser = spec.to_argparse()
     parser.add_argument("--ckpt_dir", type=str, required=True)
@@ -48,6 +51,9 @@ def main(argv=None):
                         help="resume from checkpoint path or dir")
     parser.add_argument("--use_mesh", type=int, default=1,
                         help="GSPMD-shard the train step over all devices")
+    parser.add_argument("--trace_dir", type=str, default="",
+                        help="write a jax.profiler trace of the first "
+                             "episode here (TensorBoard/Perfetto)")
     parser.add_argument("--loglevel", type=str, default="info")
     args = parser.parse_args(argv)
     om_values = vars(args)
@@ -55,12 +61,14 @@ def main(argv=None):
 
     om = OptionMap(spec, om_values)
     g = om.get(GameOptions)
+    mo = om.get(MCTSOptions)
     to = om.get(TrainOptions)
     ro = om.get(ReplayOptions)
     co = om.get(ControlOptions)
 
-    from elf_tpu.cache import enable_compilation_cache
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
 
+    pin_platform_from_env()
     enable_compilation_cache()
     configure(args.loglevel)
     logger = get_indexed_logger("scripts.train_server-")
@@ -105,7 +113,12 @@ def main(argv=None):
         server.resume_from_journal()
     server.start()
     initial_ver = int(runner.state.step)
-    server.set_initial_version(initial_ver)
+    if co.eval_old_model >= 0:
+        # eval-only bring-up: candidate = loaded model, baseline =
+        # --eval_old_model (train.py:60 setEvalMode)
+        server.set_eval_mode(initial_ver, co.eval_old_model)
+    else:
+        server.set_initial_version(initial_ver)
     # write the initial checkpoint so clients can load version 0
     runner.episode_summary()
     logger.info("server up on :%d, initial version %d", server.port, initial_ver)
@@ -119,25 +132,42 @@ def main(argv=None):
     runner.version_provider = server.selfplay.version
     runner.keep_prev_selfplay = co.keep_prev_selfplay
 
+    from elf_tpu.profiling import Profiler
+
+    prof = Profiler(trace_dir=args.trace_dir)
     try:
         logger.info("waiting for sufficient selfplay...")
-        server.wait_for_sufficient_selfplay(timeout=86400)
+        with prof.phase("wait_selfplay"):
+            server.wait_for_sufficient_selfplay(timeout=86400)
         episode = 0
         while args.num_episodes == 0 or episode < args.num_episodes:
             episode += 1
-            stats = runner.episode(args.num_minibatch)
-            ver = runner.episode_summary()
-            server.notify_new_version(initial_ver, ver)
+            # device-trace only the first episode (trace files grow fast)
+            tracer = prof.trace() if episode == 1 else _null_ctx()
+            with tracer:
+                with prof.phase("train_episode"):
+                    stats = runner.episode(args.num_minibatch)
+                with prof.phase("cooldown_checkpoint"):
+                    ver = runner.episode_summary()
+            with prof.phase("notify_eval"):
+                server.notify_new_version(initial_ver, ver)
             logger.info(
                 "episode %d: ver %d, %s | %s",
                 episode, ver,
                 {k: round(v, 4) for k, v in stats.items()},
                 server.info(),
             )
+            logger.info("%s", prof.report())
     except KeyboardInterrupt:
         pass
     finally:
         server.stop()
+
+
+def _null_ctx():
+    import contextlib
+
+    return contextlib.nullcontext()
 
 
 if __name__ == "__main__":

@@ -1,0 +1,212 @@
+"""Real multi-process integration: the reference's deployment topology is
+1 training server + N client PROCESSES over sockets (README.rst:132-134).
+These tests launch actual OS subprocesses:
+
+ - 1 x scripts/train_server.py + 2 x scripts/selfplay_client.py driving a
+   full record -> replay -> train -> checkpoint cycle with cheat modes
+   (the reference's integration strategy, game.py:243, SURVEY.md §4);
+ - a 2-process `jax.distributed` CPU learner: one global mesh spanning
+   two OS processes, verifying the multi-host DP path outside a single
+   process (the NCCL DistributedDataParallel counterpart,
+   df_model3.py:213-247).
+"""
+
+import os
+import re
+import socket
+import subprocess
+import sys
+import time
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+
+def free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(extra=None):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # subprocesses do not inherit conftest's device-count forcing
+    env["XLA_FLAGS"] = (
+        env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=2"
+    ).strip()
+    env.setdefault("PYTHONUNBUFFERED", "1")
+    if extra:
+        env.update(extra)
+    return env
+
+
+def test_server_and_two_client_processes(tmp_path):
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    port = free_port()
+
+    common = [
+        "--board_size", "5", "--num_block", "1", "--dim", "8",
+        "--port", str(port), "--komi", "5.5",
+    ]
+    server = subprocess.Popen(
+        [PY, os.path.join(REPO, "scripts/train_server.py"),
+         "--ckpt_dir", ckpt, "--batchsize", "4", "--num_minibatch", "2",
+         "--num_episodes", "2", "--use_mesh", "0",
+         "--expected_num_clients", "2", "--selfplay_init_num", "2",
+         "--selfplay_update_num", "1", "--eval_num_games", "2",
+         "--q_min_size", "1", "--q_max_size", "16", "--num_reader", "2",
+         "--num_cooldown", "1",
+         *common],
+        cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True,
+    )
+    clients = []
+    try:
+        # wait until the server listens (it prints "server up on :<port>")
+        deadline = time.time() + 180
+        while time.time() < deadline:
+            if server.poll() is not None:
+                out = server.stdout.read()
+                pytest.fail(f"server died early:\n{out[-4000:]}")
+            r = socket.socket()
+            try:
+                r.connect(("127.0.0.1", port))
+                r.close()
+                break
+            except OSError:
+                time.sleep(1.0)
+        else:
+            pytest.fail("server never listened")
+
+        for k in range(2):
+            clients.append(subprocess.Popen(
+                [PY, os.path.join(REPO, "scripts/selfplay_client.py"),
+                 "--ckpt_dir", ckpt, "--num_games", "2",
+                 "--num_rollouts", "4", "--rollouts_per_batch", "2",
+                 "--move_cutoff", "6", "--moves_per_round", "6",
+                 "--max_rounds", "400", "--seed", str(100 + k),
+                 "--cheat_selfplay_random_result", "1",
+                 "--cheat_eval_new_model_wins_half", "1",
+                 *common],
+                cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT, text=True,
+            ))
+
+        out, _ = server.communicate(timeout=480)
+        assert server.returncode == 0, f"server rc={server.returncode}:\n{out[-4000:]}"
+        # both episodes ran and produced checkpoints beyond the initial one
+        saves = [f for f in os.listdir(ckpt)
+                 if re.match(r"save-\d+\.bin$", f)]
+        vers = sorted(int(re.match(r"save-(\d+)", f).group(1)) for f in saves)
+        assert vers[0] == 0 and vers[-1] >= 2, saves
+        assert "episode 2" in out
+        # records were journaled from real client processes
+        jdir = os.path.join(ckpt, "journal")
+        journal_lines = 0
+        idents = set()
+        for f in os.listdir(jdir):
+            with open(os.path.join(jdir, f)) as fh:
+                for line in fh:
+                    if line.strip():
+                        journal_lines += 1
+        assert journal_lines >= 2, "no records journaled"
+    finally:
+        for c in clients:
+            if c.poll() is None:
+                c.kill()
+            c.wait()
+        if server.poll() is None:
+            server.kill()
+            server.wait()
+
+
+def test_two_process_jax_distributed_learner(tmp_path):
+    """Two OS processes form one jax.distributed CPU mesh and take a
+    GSPMD-sharded train step; both must agree on the loss (same global
+    batch, psum-reduced grads)."""
+    port = free_port()
+    script = tmp_path / "worker.py"
+    script.write_text(
+        f"""
+import os, sys
+sys.path.insert(0, {REPO!r})
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=2"
+pid = int(sys.argv[1])
+# this environment's sitecustomize pins the axon platform; the config
+# update after import is authoritative (see tests/conftest.py)
+import jax
+jax.config.update("jax_platforms", "cpu")
+from elf_tpu.parallel.distributed import maybe_initialize_distributed
+ok = maybe_initialize_distributed(
+    coordinator="127.0.0.1:{port}", num_processes=2, process_id=pid)
+assert ok
+import jax.numpy as jnp
+import numpy as np
+assert jax.process_count() == 2
+assert len(jax.devices()) == 4  # 2 procs x 2 forced host devices
+
+from elf_tpu.config import TrainOptions
+from elf_tpu.models.resnet import ModelConfig
+from elf_tpu.training.trainer import Trainer
+from elf_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_state
+
+cfg = ModelConfig(board_size=5, num_planes=18, num_block=1, dim=8,
+                  use_bf16=False)
+opts = TrainOptions(batchsize=8, num_block=1, dim=8)
+trainer = Trainer(cfg, opts)
+state = trainer.init_state(jax.random.PRNGKey(0))
+mesh = make_mesh(4, tp=1)
+step, shardings = make_sharded_train_step(trainer, mesh, state)
+state = shard_state(state, shardings)
+
+from jax.sharding import PartitionSpec as P
+from jax.experimental import multihost_utils
+
+# each host contributes its dp-local half of the global batch (multi-host
+# data parallelism: jit cannot reshard non-addressable arrays, so inputs
+# arrive already laid out as P('dp'))
+full = np.linspace(0, 1, 8 * 5 * 5 * 18, dtype=np.float32
+                   ).reshape(8, 5, 5, 18)
+full_pi = np.full((8, 26), 1.0 / 26.0, np.float32)
+full_w = np.ones((8,), np.float32)
+lo, hi = pid * 4, (pid + 1) * 4
+gb = lambda x: multihost_utils.host_local_array_to_global_array(
+    x, mesh, P("dp"))
+state, stats = step(state, gb(full[lo:hi]), gb(full_pi[lo:hi]),
+                    gb(full_w[lo:hi]))
+loss = float(multihost_utils.process_allgather(
+    stats["loss/total"], tiled=True))
+print("WORKER_OK", pid, round(loss, 6), flush=True)
+"""
+    )
+    procs = [
+        subprocess.Popen(
+            [PY, str(script), str(i)], cwd=REPO, env=_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=360)
+            outs.append(out)
+            assert p.returncode == 0, out[-4000:]
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    losses = []
+    for out in outs:
+        m = re.search(r"WORKER_OK \d+ ([\d.eE+-]+)", out)
+        assert m, out[-2000:]
+        losses.append(float(m.group(1)))
+    assert losses[0] == pytest.approx(losses[1], rel=1e-5)
