@@ -102,6 +102,11 @@ class MCTSConfig:
     # tree capacity override (TSOptions max_num_moves-adjacent knob the
     # reference exposes as --mcts_max_nodes); 0 = num_rollouts + 2
     max_nodes: int = 0
+    # cap the fused leaf-eval NN batch: when rollouts_per_batch * B
+    # exceeds this, leaves are evaluated in sequential chunks (lax.map)
+    # so peak activation memory stays bounded at production shapes
+    # (B=1024 x m=8 = 8192-leaf forwards otherwise).  0 = no cap.
+    eval_chunk: int = 0
 
     @property
     def num_nodes(self) -> int:
@@ -822,10 +827,41 @@ def run_mcts(
                                        root_hist_len, size)
         # legality is encoded in the stored prior's sign
         flat_legal = tree.prior[flat_rows, safe] >= 0
-        priors, values = _evaluate_states(
-            flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
-            cfg, size
-        )
+        mB = m * B
+        if cfg.eval_chunk and mB > cfg.eval_chunk and mB % cfg.eval_chunk == 0:
+            # bounded-peak evaluation: sequential chunks of eval_chunk
+            nch = mB // cfg.eval_chunk
+
+            def chunked(x):
+                return x.reshape((nch, cfg.eval_chunk) + x.shape[1:])
+
+            keys = jax.random.split(k, nch)
+
+            def one_chunk(args):
+                core_c, term_c, snaps_c, valid_c, legal_c, key_c = args
+                return _evaluate_states(
+                    core_c, term_c, snaps_c, valid_c, legal_c, eval_fn,
+                    key_c, cfg, size,
+                )
+
+            priors, values = lax.map(
+                one_chunk,
+                (
+                    jax.tree.map(chunked, flat_core),
+                    chunked(flat_term),
+                    chunked(snaps),
+                    chunked(valid),
+                    chunked(flat_legal),
+                    keys,
+                ),
+            )
+            priors = priors.reshape(mB, A)
+            values = values.reshape(mB)
+        else:
+            priors, values = _evaluate_states(
+                flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
+                cfg, size
+            )
         # superko-terminal leaves use the stored next-player-wins value,
         # not the TT sign
         flat_sk = tree.superko[flat_rows, safe]
