@@ -34,10 +34,15 @@ class GtpEngine:
 
     def __init__(self, eval_fn_builder, mcts_cfg: MCTSConfig,
                  size: int = 19, komi: float = 7.5, seed: int = 0,
-                 persistent_tree: bool = True, following_pass: bool = False):
+                 persistent_tree: bool = True, following_pass: bool = False,
+                 resign_thres: float = 0.05):
         self.eval_fn_builder = eval_fn_builder
         self.mcts_cfg = mcts_cfg
         self.komi = komi
+        # resign when mover value < -1 + resign_thres (ResignCheck,
+        # game_utils.h:15); 0 disables resignation (analysis mode,
+        # README.rst:164 resign_thres 0.0)
+        self.resign_thres = resign_thres
         self.params = None
         self.batch_stats = None
         self.key = jax.random.PRNGKey(seed)
@@ -142,7 +147,7 @@ class GtpEngine:
         a = int(np.asarray(res.best_action)[0])
         v = float(np.asarray(res.root_q)[0])
         mover_v = v if want == BLACK else -v
-        if mover_v < -0.95:
+        if self.resign_thres > 0 and mover_v < -1.0 + self.resign_thres:
             return "resign"
         if (
             self.following_pass
@@ -197,7 +202,8 @@ class GtpConsole:
         "protocol_version", "name", "version", "known_command",
         "list_commands", "quit", "boardsize", "clear_board", "komi",
         "play", "genmove", "undo", "final_score", "showboard",
-        "kgs-game_over",
+        "final_status_list", "time_settings", "kgs-time_settings",
+        "time_left", "kgs-game_over",
     ]
 
     def __init__(self, engine: GtpEngine, name: str = "elf_tpu",
@@ -270,6 +276,26 @@ class GtpConsole:
             return True, e.final_score()
         if cmd == "showboard":
             return True, "\n" + e.showboard()
+        if cmd == "final_status_list":
+            # Tromp-Taylor scoring treats every stone as alive: "dead"
+            # is always empty, "alive"/"seki" report accordingly — the
+            # answers KGS/gogui need to close a game cleanly
+            what = args[0].lower() if args else "dead"
+            if what == "dead" or what == "seki":
+                return True, ""
+            if what == "alive":
+                stones = np.asarray(e.state.core.stones)[0]
+                verts = [
+                    flat_to_gtp(int(i), e.size)
+                    for i in np.nonzero(stones)[0]
+                ]
+                return True, " ".join(verts)
+            return False, "syntax error"
+        if cmd in ("time_settings", "kgs-time_settings", "time_left"):
+            # accepted and recorded; the engine searches with a fixed
+            # rollout budget (the reference console also ignores clocks)
+            self.time_settings = args
+            return True, ""
         if cmd == "kgs-game_over":
             return True, ""
         return False, "unknown command"

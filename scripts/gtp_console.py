@@ -29,6 +29,9 @@ def main(argv=None):
     parser = spec.to_argparse()
     parser.add_argument("--load", type=str, default="",
                         help="checkpoint path (empty = random weights)")
+    parser.add_argument("--resign_thres", type=float, default=0.05,
+                        help="resign when mover value < -1 + this "
+                             "(0 disables; README.rst:147 play uses 0.05)")
     args = parser.parse_args(argv)
     om = OptionMap(spec, vars(args))
     g = om.get(GameOptions)
@@ -67,7 +70,8 @@ def main(argv=None):
     )
     engine = GtpEngine(eval_builder, mcfg, size=g.board_size, komi=g.komi,
                        seed=g.seed, persistent_tree=mo.persistent_tree,
-                       following_pass=g.following_pass)
+                       following_pass=g.following_pass,
+                       resign_thres=args.resign_thres)
     engine.set_model(state.params, state.batch_stats)
     GtpConsole(engine).run()
 

@@ -65,6 +65,42 @@ class TestGtp:
         score = c.handle("final_score")
         assert score.startswith("= W+")  # empty board: komi to white
 
+    def test_kgs_survival_commands(self):
+        """final_status_list / time_settings / time_left must answer
+        cleanly so KGS/gogui sessions do not abort (console_lib.py:207
+        surface)."""
+        c = make_console(size=5)
+        c.handle("play B C3")
+        assert c.handle("final_status_list dead").startswith("=")
+        alive = c.handle("final_status_list alive")
+        assert alive.startswith("= ") and "C3" in alive
+        assert c.handle("time_settings 600 30 5").startswith("=")
+        assert c.handle("kgs-time_settings byoyomi 600 30 5").startswith("=")
+        assert c.handle("time_left B 120 3").startswith("=")
+        assert c.handle("known_command final_status_list").startswith("= true")
+
+    def test_resign_threshold_respected(self):
+        """A losing evaluator triggers resign at the configured threshold;
+        resign_thres=0 never resigns."""
+        def losing_builder(params, batch_stats):
+            def eval_fn(feats, to_play):
+                K = feats.shape[0]
+                A = feats.shape[1] * feats.shape[2] + 1
+                # black-perspective value -0.99: black is hopeless
+                return jnp.full((K, A), -np.log(A)), jnp.full((K,), -0.99)
+
+            return eval_fn
+
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                          rotation_flip=False,
+                          remove_pass_if_dangerous=False)
+        eng = GtpEngine(losing_builder, mcfg, size=5, komi=7.5,
+                        resign_thres=0.05)
+        assert eng.genmove("b") == "resign"
+        eng0 = GtpEngine(losing_builder, mcfg, size=5, komi=7.5,
+                         resign_thres=0.0)
+        assert eng0.genmove("b") != "resign"
+
     def test_quit(self):
         c = make_console()
         out = io.StringIO()
