@@ -70,18 +70,25 @@ class HostBatch(NamedTuple):
     winner: np.ndarray    # f32 [B]
     selfplay_ver: np.ndarray  # i64 [B] per-sample record version
     #                           (game_feature.h training field selfplay_ver)
+    offline_a: np.ndarray  # i32 [B, T] future actions at ply..ply+T-1
+    #                        (game_feature.h `offline_a`, T =
+    #                        num_future_actions; pass-padded past game end)
 
 
 class TrainingPipeline:
     def __init__(self, replay: ReplayBuffer, size: int, seed: int = 0,
-                 data_aug: int = -1):
+                 data_aug: int = -1, num_future_actions: int = 1):
         """data_aug: fixed D4 code for training augmentation, or -1 for a
-        random code per sample (go_game_specific.h:46)."""
+        random code per sample (go_game_specific.h:46).
+        num_future_actions: horizons in the `offline_a` target
+        (go_game_specific.h num_future_actions; the multi-horizon
+        supervised target of MultiplePrediction, multiple_prediction.py:30)."""
         self.replay = replay
         self.size = size
         self.n2 = size * size
         self.A = self.n2 + 1
         self.data_aug = data_aug
+        self.num_future_actions = max(1, num_future_actions)
         self.rng = np.random.RandomState(seed)
 
     def insert_record(self, record: Record) -> None:
@@ -102,6 +109,8 @@ class TrainingPipeline:
         pi = np.zeros((batch_size, A), np.float32)
         winner = np.zeros((batch_size,), np.float32)
         selfplay_ver = np.zeros((batch_size,), np.int64)
+        T = self.num_future_actions
+        offline_a = np.full((batch_size, T), n2, np.int32)  # pass-padded
         for i, item in enumerate(items):
             selfplay_ver[i] = item.record.request.vers.black_ver
             L = len(item.moves)
@@ -126,8 +135,10 @@ class TrainingPipeline:
             else:
                 pi[i, item.moves[ply]] = 1.0
             winner[i] = 1.0 if item.black_win else -1.0
+            for k in range(min(T, L - ply)):
+                offline_a[i, k] = item.moves[ply + k]
         return HostBatch(snaps, valid, to_play, codes, pi, winner,
-                         selfplay_ver)
+                         selfplay_ver, offline_a)
 
     def device_batch(self, hb: HostBatch):
         """Returns (features [B,N,N,18], pi_target [B,A], winner [B])."""
@@ -137,9 +148,33 @@ class TrainingPipeline:
             jnp.asarray(hb.pi_target), jnp.asarray(hb.winner), self.size,
         )
 
+    def device_batch_offline(self, hb: HostBatch):
+        """Supervised multi-horizon variant: (features, offline_a [B,T]
+        D4-transformed, winner) — the MultiplePrediction target set."""
+        return _device_batch_offline(
+            jnp.asarray(hb.snaps), jnp.asarray(hb.valid),
+            jnp.asarray(hb.to_play), jnp.asarray(hb.codes),
+            jnp.asarray(hb.offline_a), jnp.asarray(hb.winner), self.size,
+        )
+
 
 @functools.partial(jax.jit, static_argnums=(6,))
 def _device_batch(snaps, valid, to_play, codes, pi_target, winner, size):
     feats = extract_agz_from_snapshots(snaps, valid, to_play, codes, size)
     pi_t = transform_policy(pi_target, codes, size)
     return feats, pi_t, winner
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _device_batch_offline(snaps, valid, to_play, codes, offline_a, winner,
+                          size):
+    from elf_tpu.env.go.features import transform_action
+
+    feats = extract_agz_from_snapshots(snaps, valid, to_play, codes, size)
+    B, T = offline_a.shape
+    oa = transform_action(
+        offline_a.reshape(-1),
+        jnp.repeat(codes, T),
+        size,
+    ).reshape(B, T)
+    return feats, oa, winner

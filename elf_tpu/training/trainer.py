@@ -106,6 +106,43 @@ class Trainer:
 
         return train_step
 
+    def make_offline_train_step(self):
+        """Supervised (df_pred) step: MultiplePrediction over the
+        multi-horizon `offline_a` targets (multiple_prediction.py:30) —
+        the offline-training counterpart of make_train_step."""
+        from elf_tpu.training.loss import multiple_prediction_loss
+
+        model, tx = self.model, self.tx
+
+        def train_step(
+            state: TrainState, features, offline_a, winner
+        ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+            def loss_fn(params):
+                (log_pi, value), mut = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    features,
+                    train=True,
+                    mutable=["batch_stats"],
+                )
+                loss, stats = multiple_prediction_loss(
+                    log_pi, value, offline_a, winner
+                )
+                return loss, (stats, mut["batch_stats"])
+
+            grads, (stats, new_bs) = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            new_state = TrainState(
+                params=new_params,
+                batch_stats=new_bs,
+                opt_state=new_opt,
+                step=state.step + 1,
+            )
+            stats["grad_norm"] = optax.global_norm(grads)
+            return new_state, stats
+
+        return train_step
+
     def make_cooldown_step(self):
         """BN re-estimation pass: updates batch_stats only
         (prepare_cooldown + cooldown passes, single_process.py:101)."""

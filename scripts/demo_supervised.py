@@ -40,6 +40,8 @@ def main(argv=None):
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--batch", type=int, default=256)
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--num_future_actions", type=int, default=1,
+                    help="multi-horizon MultiplePrediction targets")
     args = ap.parse_args(argv)
 
     from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
@@ -49,7 +51,8 @@ def main(argv=None):
     size = 19
     replay = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
                                         q_max_size=1000), seed=0)
-    pipeline = TrainingPipeline(replay, size, seed=0)
+    pipeline = TrainingPipeline(replay, size, seed=0,
+                                num_future_actions=args.num_future_actions)
     n = OfflineLoader(pipeline, num_threads=8).load_dir(args.sgf_dir)
     print(json.dumps({"loaded_games": n}), flush=True)
 

@@ -142,6 +142,48 @@ class TestPipeline:
                     # black stone is in the *opponent* plane (plane 1)
                     assert f[i, :, :, 1].sum() == 1
 
+    def test_offline_multi_horizon_targets(self):
+        """num_future_actions plumbs the offline_a [B, T] targets through
+        the pipeline (game_feature.h `offline_a`) into the
+        MultiplePrediction train step."""
+        import jax
+
+        size = 5
+        buf = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
+                                         q_max_size=20))
+        pipe = TrainingPipeline(buf, size, seed=0, num_future_actions=3)
+        moves = [3, 7, 11, 15]
+        A = 26
+        pis = []
+        for m in moves:
+            p = np.zeros(A, np.float32)
+            p[m] = 1.0
+            pis.append(p)
+        pipe.insert_record(make_record(moves, 1.0, pis, [0.0] * 4, size))
+        hb = pipe.sample_host_batch(6)
+        assert hb.offline_a.shape == (6, 3)
+        for i in range(6):
+            # horizon 0 must be the move actually played at the sampled ply
+            ply = int(np.argmax(hb.offline_a[i, 0] == np.asarray(moves))) \
+                if hb.offline_a[i, 0] in moves else None
+            assert hb.offline_a[i, 0] in moves
+            # horizons beyond game end pad with pass
+            if hb.offline_a[i, 0] == 15:
+                assert hb.offline_a[i, 1] == 25 and hb.offline_a[i, 2] == 25
+        # identity D4 code keeps actions unchanged on device
+        hb0 = hb._replace(codes=np.zeros(6, np.int32))
+        feats, oa, winner = pipe.device_batch_offline(hb0)
+        np.testing.assert_array_equal(np.asarray(oa), hb.offline_a)
+        # the offline train step runs end to end
+        opts = TrainOptions(batchsize=6, num_block=1, dim=8)
+        cfg = ModelConfig(board_size=size, num_planes=18, num_block=1,
+                          dim=8, use_bf16=False)
+        trainer = Trainer(cfg, opts)
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        step = jax.jit(trainer.make_offline_train_step())
+        state, stats = step(state, feats, oa, winner)
+        assert "acc/top1" in stats and np.isfinite(float(stats["loss/total"]))
+
     def test_handicap_record_training(self):
         """A handicap record (white moves first, setup stones on the board)
         must train with the right mover and boards: the pre-parity-fix
