@@ -380,6 +380,120 @@ class TestGoTest:
                                       board_from_string(expect))
 
 
+class TestEyeish:
+    """go_test.cc:42 testEyeish, on the vectorized tactics module."""
+
+    def test_eyeish_table(self):
+        from elf_tpu.env.go.tactics import eye_mask
+
+        s = rows(
+            ".XX...XXX",
+            "X.X...X.X",
+            "XX.....X.",
+            "........X",
+            "XXXX.....",
+            "OOOX....O",
+            "X.OXX.OO.",
+            ".XO.X.O.O",
+            "XXO.X.OO.",
+        )
+        stones = board_from_string(s)[None]
+        b_eyes = np.asarray(eye_mask(jnp.asarray(stones),
+                                     jnp.int8(BLACK), SIZE))[0]
+        w_eyes = np.asarray(eye_mask(jnp.asarray(stones),
+                                     jnp.int8(WHITE), SIZE))[0]
+        for mv in ("aa", "bb", "ah", "hb", "ic"):
+            assert b_eyes[s2c(mv)], mv
+        for mv in ("ii", "hh", "ig"):
+            assert w_eyes[s2c(mv)], mv
+        for mv in ("bg", "ee"):
+            assert not b_eyes[s2c(mv)], mv
+            assert not w_eyes[s2c(mv)], mv
+
+    def test_fake_and_true_eyes(self):
+        """A corner eye with an opponent diagonal is fake
+        (board.cc:1887: edge eyes tolerate zero opponent diagonals)."""
+        from elf_tpu.env.go.tactics import fake_eye_mask, true_eye_mask
+
+        s = rows(
+            ".X.......",
+            "XX.......",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+        )
+        stones = board_from_string(s)[None]
+        t = np.asarray(true_eye_mask(jnp.asarray(stones),
+                                     jnp.int8(BLACK), SIZE))[0]
+        assert t[s2c("aa")]
+        # the diagonal rule on an edge eye: ea with one opponent diagonal
+        # (db = (3,1) is diagonal to ea = (4,0); the edge supplies the
+        # two off-board diagonals)
+        s2_ = rows(
+            "...X.X...",
+            "...OXX...",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+        )
+        stones2 = board_from_string(s2_)[None]
+        f = np.asarray(fake_eye_mask(jnp.asarray(stones2),
+                                     jnp.int8(BLACK), SIZE))[0]
+        assert f[s2c("ea")]  # edge eye with one opponent diagonal = fake
+
+    def test_self_atari(self):
+        """Playing into a two-point corner enclosure is self-atari; an
+        open-area move is not; a zero-liberty point is illegal, not
+        self-atari (isSelfAtari, board.cc:254)."""
+        from elf_tpu.env.go.tactics import self_atari_mask
+
+        # black walls off the aa/ba corner pair
+        s = rows(
+            "..X......",
+            "XXX......",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+        )
+        core = load_board(s, to_play=WHITE)
+        sa = np.asarray(self_atari_mask(core, SIZE))[0]
+        # white aa: chain {aa} has the single liberty ba -> self-atari
+        assert sa[s2c("aa")]
+        # white ba: chain {ba} has the single liberty aa -> self-atari
+        assert sa[s2c("ba")]
+        # open-area moves are safe
+        assert not sa[s2c("ee")]
+        assert not sa[s2c("ai")]
+
+        # a zero-liberty placement is illegal, never self-atari
+        s0 = rows(
+            ".X.......",
+            "X........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+            ".........",
+        )
+        core0 = load_board(s0, to_play=WHITE)
+        sa0 = np.asarray(self_atari_mask(core0, SIZE))[0]
+        assert not sa0[s2c("aa")]
+
+
 class TestFeatureGolden:
     """board_feature_test.cc:24 testAgzFeature — channel-exact AGZ planes
     after B(0,0) W(0,1) B(0,2) W(0,3) B(1,1) (which captures W(0,1)).
