@@ -370,7 +370,10 @@ def step_core(core: GoCore, action: jax.Array, size: int) -> Tuple[GoCore, StepI
     B = core.stones.shape[0]
     zlo, zhi = (jnp.asarray(t) for t in zobrist_tables(size))
 
-    is_pass = action >= n2
+    # out-of-range actions (including negatives) are passes in BOTH the
+    # XLA and Pallas paths — previously a negative action placed at point
+    # 0 here but no-opped in the Pallas kernel (a latent path divergence)
+    is_pass = (action >= n2) | (action < 0)
     p = jnp.clip(action, 0, n2 - 1)
     color = core.to_play.astype(jnp.int32)          # [B]
     opp = (3 - color).astype(jnp.int8)
