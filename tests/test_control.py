@@ -129,6 +129,27 @@ class TestWireProtocol:
         assert not br.register("c1")
         assert br.win_count.n_done == 8
 
+    def test_single_client_finishes_whole_eval(self):
+        """A 1-client fleet must be able to finish a full eval on its own
+        (impossible under per-identity accounting)."""
+        opts = ControlOptions(eval_num_games=8, eval_winrate_thres=0.55)
+        ev = EvalSubCtrl(opts)
+        ev.set_baseline(0)
+        ev.add_new_model_for_evaluation(1)
+        swaps = []
+        for _ in range(8):
+            req = MsgRequest()
+            assert ev.fill_in_request("only-client", req)
+            swaps.append(req.client_ctrl.player_swap)
+            reward = -1.0 if req.client_ctrl.player_swap else 1.0
+            ev.feed("only-client", fake_record(
+                ver=1, white_ver=0, reward=reward,
+                swap=req.client_ctrl.player_swap,
+            ))
+        assert sum(swaps) == 4  # halves alternate for color balance
+        promoted = ev.check_promotions(lambda _ident: False)
+        assert promoted == 1
+
     def test_actor_applies_ts_options(self):
         from elf_tpu.selfplay.records import TSOptions
         from elf_tpu.search.mcts import MCTSConfig
