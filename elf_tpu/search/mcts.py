@@ -188,7 +188,11 @@ def _init_tree(B: int, size: int, cfg: MCTSConfig) -> Tree:
 def _make_tree(B: int, size: int, N: int) -> Tree:
     n2 = size * size
     A = n2 + 1
-    assert N < 32768, "node ids are int16"
+    # node ids are int16; a full tree falls back to re-evaluating the
+    # frontier node (see _select_and_expand capacity guard), so clamping
+    # the capacity is safe — it only bounds subtree reuse at extreme
+    # rollout counts (e.g. gtp.sh's 2 * 16384 + 2 reuse capacity)
+    N = min(N, 32767)
     zi8 = lambda *s: jnp.zeros(s, jnp.int8)
     zi16 = lambda *s: jnp.zeros(s, jnp.int16)
     zi32 = lambda *s: jnp.zeros(s, jnp.int32)

@@ -210,6 +210,17 @@ class TestTreeReuse:
         assert abs(float(res2.mcts_policy[0].sum()) - 1.0) < 1e-5
 
 
+class TestCapacityClamp:
+    def test_int16_capacity_clamp(self):
+        """Reuse capacity beyond int16 node ids clamps instead of
+        overflowing (gtp.sh plays 16384 rollouts -> 2*16384+2 reuse)."""
+        from elf_tpu.search.mcts import fresh_tree
+
+        t = fresh_tree(1, 5, 2 * 16384 + 2, init_core(1, 5))
+        assert t.stones.shape[1] == 32767
+        assert t.child.dtype == jnp.int16
+
+
 class TestInTreeSuperko:
     def test_repetition_marked_terminal(self):
         """A ko-retake inside the search that recreates the parent-parent
