@@ -186,10 +186,12 @@ def bench_selfplay_prod(B=1024, rollouts=1600, m=8, blocks=20, dim=256):
         num_rollouts=rollouts, rollouts_per_batch=m, c_puct=0.85,
         virtual_loss=5, root_epsilon=0.25, root_alpha=0.03,
         ply_pass_enabled=160, rotation_flip=True,
-        # bound peak NN activation memory: 8192-leaf fused forwards
-        # crashed a 16 GiB v5e worker; 2048-leaf chunks run at the same
-        # MXU efficiency
+        # bound peak NN activation memory (2048-leaf eval chunks) and
+        # per-execution device time (10 sim batches per jit call): a
+        # monolithic 200-batch search runs minutes on-device and the TPU
+        # runtime kills it as a hung worker
         eval_chunk=2048,
+        max_batches_per_call=10,
     )
     actor = SelfplayActor(acfg, mcfg, eval_builder, seed=0)
     params, batch_stats = variables["params"], variables["batch_stats"]

@@ -107,6 +107,13 @@ class MCTSConfig:
     # so peak activation memory stays bounded at production shapes
     # (B=1024 x m=8 = 8192-leaf forwards otherwise).  0 = no cap.
     eval_chunk: int = 0
+    # cap the simulation batches folded into ONE device execution: a
+    # prod-shape search (200 sequential NN sweeps) as a single XLA
+    # program runs minutes on-device, which TPU runtimes may kill as a
+    # hung worker; the actor loops `mcts_simulate` from the host in
+    # chunks of this many sim-batches instead (tree donated between
+    # calls, so no copies).  0 = whole search in one call.
+    max_batches_per_call: int = 0
 
     @property
     def num_nodes(self) -> int:
@@ -732,26 +739,21 @@ def advance_tree(
     return new_tree
 
 
-def run_mcts(
+def mcts_root_prepare(
     root_core: GoCore,
-    root_hist: jax.Array,       # i8 [B, 8, n2] game snapshots (oldest first)
-    root_hist_len: jax.Array,   # i32 [B]
+    root_hist: jax.Array,
+    root_hist_len: jax.Array,
     eval_fn: EvalFn,
     rng: jax.Array,
     cfg: MCTSConfig,
     size: int,
     init_tree: Optional[Tree] = None,
-    game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
-) -> Tuple[MCTSResult, Tree]:
-    """Run cfg.num_rollouts simulations for B boards in lockstep.
-
-    `init_tree`: a tree re-rooted by `advance_tree` — reused subtree stats
-    carry over; fresh Dirichlet noise is re-mixed into the (reused) root
-    prior each move, as the reference re-noises each search.
-
-    `game_hash_hist`: (hash_hist_lo [B,H], hash_hist_hi [B,H], nhash [B])
-    from the game's GoState — enables in-tree superko detection against
-    positions played before the root."""
+) -> Tree:
+    """Phase 1 of a search: build/adopt the tree and evaluate + noise the
+    root.  (run_mcts = prepare -> simulate -> finalize; the phases are
+    exposed so callers can loop `mcts_simulate` from the host — one
+    monolithic device execution of a production search runs minutes and
+    trips TPU runtime watchdogs.)"""
     B = root_core.stones.shape[0]
     rows = jnp.arange(B)
     A = size * size + 1
@@ -771,7 +773,7 @@ def run_mcts(
     root_fresh = ~tree.expanded[:, 0]
 
     # root evaluation (fresh roots) + Dirichlet noise (all roots)
-    rng, k_eval, k_noise, k_pick = jax.random.split(rng, 4)
+    k_eval, k_noise = jax.random.split(rng, 2)
     root_ids = jnp.zeros((B,), jnp.int32)
     root_legal = engine.legal_moves(root_core, size)
     snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
@@ -803,9 +805,27 @@ def run_mcts(
         expanded=tree.expanded.at[:, 0].set(True),
         root_raw_prior=raw_prior,
     )
+    return tree
 
+
+def mcts_simulate(
+    tree: Tree,
+    root_hist: jax.Array,
+    root_hist_len: jax.Array,
+    eval_fn: EvalFn,
+    rng: jax.Array,
+    cfg: MCTSConfig,
+    size: int,
+    n_batches: int,
+    game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+) -> Tree:
+    """Phase 2: run `n_batches` simulation batches (each =
+    rollouts_per_batch select/expand passes + one fused leaf evaluation +
+    backprops).  Host-loopable: jit with the tree donated."""
+    B = tree.stones.shape[0]
+    rows = jnp.arange(B)
+    A = size * size + 1
     m = max(1, cfg.rollouts_per_batch)
-    n_batches = max(1, cfg.num_rollouts // m)
 
     def sim_batch(carry, _):
         tree, rng = carry
@@ -899,7 +919,13 @@ def run_mcts(
         return (tree, rng), None
 
     (tree, _), _ = lax.scan(sim_batch, (tree, rng), None, length=n_batches)
+    return tree
 
+
+def mcts_finalize(tree: Tree, rng: jax.Array, cfg: MCTSConfig) -> MCTSResult:
+    """Phase 3: read the root statistics into an MCTSResult."""
+    B = tree.stones.shape[0]
+    k_pick = rng
     n_root, w_root, _ = _edge_stats(tree, jnp.zeros((B,), jnp.int32))
     visits = n_root.astype(jnp.float32)                        # [B, A]
     root_prior = tree.prior[:, 0].astype(jnp.float32)
@@ -918,12 +944,49 @@ def run_mcts(
             visits + 1e-6 * jnp.maximum(root_prior, 0.0), axis=1
         ).astype(jnp.int32)
     root_q = jnp.sum(w_root, axis=1) / jnp.maximum(jnp.sum(visits, axis=1), 1.0)
-    return (
-        MCTSResult(
-            mcts_policy=mcts_policy,
-            best_action=best,
-            root_value=tree.value[:, 0],
-            root_q=root_q,
-        ),
-        tree,
+    return MCTSResult(
+        mcts_policy=mcts_policy,
+        best_action=best,
+        root_value=tree.value[:, 0],
+        root_q=root_q,
     )
+
+
+def run_mcts(
+    root_core: GoCore,
+    root_hist: jax.Array,       # i8 [B, 8, n2] game snapshots (oldest first)
+    root_hist_len: jax.Array,   # i32 [B]
+    eval_fn: EvalFn,
+    rng: jax.Array,
+    cfg: MCTSConfig,
+    size: int,
+    init_tree: Optional[Tree] = None,
+    game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+) -> Tuple[MCTSResult, Tree]:
+    """Run cfg.num_rollouts simulations for B boards in lockstep
+    (prepare -> simulate -> finalize in one traceable call).
+
+    `init_tree`: a tree re-rooted by `advance_tree` — reused subtree stats
+    carry over; fresh Dirichlet noise is re-mixed into the (reused) root
+    prior each move, as the reference re-noises each search.
+
+    `game_hash_hist`: (hash_hist_lo [B,H], hash_hist_hi [B,H], nhash [B])
+    from the game's GoState — enables in-tree superko detection against
+    positions played before the root.
+
+    For production budgets, call the three phases as separate jit calls
+    and loop `mcts_simulate` from the host (the actor does this when
+    MCTSConfig.max_batches_per_call > 0) — a monolithic device execution
+    of a 1600-rollout search runs minutes and trips runtime watchdogs."""
+    k_prep, k_sim, k_pick = jax.random.split(rng, 3)
+    tree = mcts_root_prepare(
+        root_core, root_hist, root_hist_len, eval_fn, k_prep, cfg, size,
+        init_tree=init_tree,
+    )
+    m = max(1, cfg.rollouts_per_batch)
+    n_batches = max(1, cfg.num_rollouts // m)
+    tree = mcts_simulate(
+        tree, root_hist, root_hist_len, eval_fn, k_sim, cfg, size,
+        n_batches, game_hash_hist=game_hash_hist,
+    )
+    return mcts_finalize(tree, k_pick, cfg), tree

@@ -136,6 +136,7 @@ class SelfplayActor:
         self.key = jax.random.PRNGKey(seed)
         self._move_fn = None
         self._reset_fn = None
+        self._chunked_fns = None
 
         B = cfg.batch
         self._fresh_state = self._make_fresh_state(B)
@@ -213,6 +214,7 @@ class SelfplayActor:
         self.mcts_cfg = new_mcfg
         self.cfg = new_cfg
         self._move_fn = None
+        self._chunked_fns = None
         self.tree = None
         return True
 
@@ -330,13 +332,177 @@ class SelfplayActor:
             donate_argnums=donate,
         )
 
+    # -- host-chunked search (production rollout budgets) -------------------
+
+    def _shardings(self):
+        if self.mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        return (NamedSharding(self.mesh, P("dp")),
+                NamedSharding(self.mesh, P()))
+
+    def _build_chunked_fns(self):
+        """Three jitted phases so no single device execution exceeds
+        ~max_batches_per_call NN sweeps (TPU runtimes kill executions that
+        run for minutes as hung workers): prepare (root eval + noise),
+        simulate (a chunk of sim batches, tree donated), finish
+        (result + diverse move + resign + env step [+ advance])."""
+        from elf_tpu.search.mcts import (
+            mcts_finalize,
+            mcts_root_prepare,
+            mcts_simulate,
+        )
+
+        size = self.size
+        cfg = self.cfg
+        mcfg = self.mcts_cfg
+        m = max(1, mcfg.rollouts_per_batch)
+        total_batches = max(1, mcfg.num_rollouts // m)
+        chunk = min(mcfg.max_batches_per_call, total_batches)
+        n_full, rem = divmod(total_batches, chunk)
+
+        def prepare(state: GoState, params, batch_stats, key, tree_in=None):
+            eval_fn = self.eval_fn_builder(params, batch_stats)
+            return mcts_root_prepare(
+                state.core, state.stone_hist, state.hist_len, eval_fn, key,
+                mcfg, size,
+                init_tree=tree_in if cfg.persistent_tree else None,
+            )
+
+        def make_sim(n_batches):
+            def simulate(tree, state: GoState, params, batch_stats, key):
+                eval_fn = self.eval_fn_builder(params, batch_stats)
+                return mcts_simulate(
+                    tree, state.stone_hist, state.hist_len, eval_fn, key,
+                    mcfg, size, n_batches,
+                    game_hash_hist=(state.hash_hist_lo, state.hash_hist_hi,
+                                    state.nhash),
+                )
+
+            return simulate
+
+        def finish(state: GoState, tree, key, never_resign, resign_thres):
+            k_pick, k_sample = jax.random.split(key)
+            res = mcts_finalize(tree, k_pick, mcfg)
+            diverse = state.core.ply <= cfg.policy_distri_cutoff
+            logits = jnp.where(res.mcts_policy > 0, jnp.log(
+                jnp.maximum(res.mcts_policy, 1e-10)), -1e9)
+            sampled = jax.random.categorical(k_sample, logits, axis=1)
+            action = jnp.where(diverse, sampled,
+                               res.best_action).astype(jnp.int32)
+            v = res.root_q
+            mover_v = jnp.where(state.core.to_play == BLACK, v, -v)
+            resign = (
+                (mover_v < -1.0 + resign_thres)
+                & ~never_resign
+                & ~state.terminated
+            )
+            new_state, _info = step(state, action, size)
+            new_state = gostate._tree_where(resign, state, new_state)
+            final_score = gostate.evaluate(new_state, size, cfg.komi)
+            out = MoveOutput(
+                action=action,
+                mcts_policy=res.mcts_policy,
+                predicted_value=v,
+                resign=resign,
+                terminated=new_state.terminated,
+                final_score=final_score,
+            )
+            if not cfg.persistent_tree:
+                return new_state, out
+            from elf_tpu.search.mcts import advance_tree
+
+            tree_out = advance_tree(
+                tree, action, new_state.core, size, tree.stones.shape[1],
+            )
+            return new_state, tree_out, out
+
+        batched, repl = self._shardings()
+
+        def jit_with(fn, donate, in_sh, out_sh):
+            if self.mesh is None:
+                return jax.jit(fn, donate_argnums=donate)
+            return jax.jit(fn, donate_argnums=donate,
+                           in_shardings=in_sh, out_shardings=out_sh)
+
+        prep_in = ((batched, repl, repl, repl, batched)
+                   if cfg.persistent_tree
+                   else (batched, repl, repl, repl))
+        fns = {
+            "prepare": jit_with(
+                prepare,
+                donate=(4,) if cfg.persistent_tree else (),
+                in_sh=prep_in, out_sh=batched,
+            ),
+            "simulate": jit_with(
+                make_sim(chunk), donate=(0,),
+                in_sh=(batched, batched, repl, repl, repl), out_sh=batched,
+            ),
+            "finish": jit_with(
+                finish, donate=(0, 1),
+                in_sh=(batched, batched, repl, batched, repl),
+                out_sh=((batched, batched, batched)
+                        if cfg.persistent_tree else (batched, batched)),
+            ),
+            "n_full": n_full,
+        }
+        if rem:
+            fns["simulate_rem"] = jit_with(
+                make_sim(rem), donate=(0,),
+                in_sh=(batched, batched, repl, repl, repl), out_sh=batched,
+            )
+        return fns
+
+    def _chunked_move(self, params, batch_stats, k, nr, resign_thres):
+        """One move via prepare -> host-looped simulate -> finish."""
+        if self._chunked_fns is None:
+            self._chunked_fns = self._build_chunked_fns()
+        fns = self._chunked_fns
+        cfg = self.cfg
+        k_prep, k_sim, k_fin = jax.random.split(k, 3)
+        if cfg.persistent_tree:
+            if self.tree is None:
+                from elf_tpu.search.mcts import fresh_tree
+
+                capacity = self.mcts_cfg.max_nodes or (
+                    2 * self.mcts_cfg.num_rollouts + 2
+                )
+                self.tree = fresh_tree(cfg.batch, self.size,
+                                       max(capacity, 3), self.state.core)
+            tree = fns["prepare"](self.state, params, batch_stats, k_prep,
+                                  self.tree)
+            self.tree = None  # donated
+        else:
+            tree = fns["prepare"](self.state, params, batch_stats, k_prep)
+        for i in range(fns["n_full"]):
+            tree = fns["simulate"](
+                tree, self.state, params, batch_stats,
+                jax.random.fold_in(k_sim, i),
+            )
+        if "simulate_rem" in fns:
+            tree = fns["simulate_rem"](
+                tree, self.state, params, batch_stats,
+                jax.random.fold_in(k_sim, -1),
+            )
+        outs = fns["finish"](self.state, tree, k_fin, nr, resign_thres)
+        if cfg.persistent_tree:
+            new_state, self.tree, out = outs
+            return new_state, out
+        new_state, out = outs
+        return new_state, out
+
     # ----------------------------------------------------------------- host
 
     def play_moves(self, params, batch_stats, n_moves: int,
                    request: Optional[MsgRequest] = None) -> List[Record]:
         """Advance all B games by n_moves plies; returns Records of games
         that finished (each finished board is reset in place)."""
-        if self._move_fn is None:
+        chunked = (
+            self.mcts_cfg.max_batches_per_call > 0
+            and self.mcts_cfg.num_rollouts > 0
+        )
+        if self._move_fn is None and not chunked:
             self._move_fn = self._build_move_fn()
         cfg = self.cfg
         B = cfg.batch
@@ -355,7 +521,16 @@ class SelfplayActor:
             was_terminated = np.asarray(self.state.terminated)
             to_play_before = np.asarray(self.state.core.to_play)
             ply_before = np.asarray(self.state.core.ply)
-            if cfg.persistent_tree:
+            use_chunked = (
+                self.mcts_cfg.max_batches_per_call > 0
+                and self.mcts_cfg.num_rollouts > 0
+            )
+            if use_chunked:
+                new_state, out = self._chunked_move(
+                    params, batch_stats, k, nr,
+                    jnp.float32(self.resign_thres),
+                )
+            elif cfg.persistent_tree:
                 if self.tree is None:
                     from elf_tpu.search.mcts import fresh_tree
 

@@ -57,6 +57,38 @@ class TestSelfplayActor:
         back = Records.from_json_string(blob)
         assert len(back.records) == len(records)
 
+    def test_chunked_search_games_are_legal(self):
+        """max_batches_per_call > 0 splits a move's search into several
+        device executions (prepare -> host-looped simulate -> finish);
+        games must still complete legally, with and without tree reuse."""
+        from elf_tpu.env.go.oracle import OracleGo
+
+        size = 5
+        for persistent in (False, True):
+            cfg = ActorConfig(
+                board_size=size, batch=2, komi=7.5,
+                policy_distri_cutoff=6, resign_thres=0.0,
+                never_resign_prob=1.0, persistent_tree=persistent,
+            )
+            mcfg = MCTSConfig(
+                num_rollouts=12, rollouts_per_batch=2, rotation_flip=False,
+                root_epsilon=0.25, root_alpha=0.5,
+                max_batches_per_call=2,   # 6 batches -> 3 device calls
+            )
+            actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26),
+                                  seed=3)
+            records = []
+            for _ in range(14):
+                records.extend(actor.play_moves(None, None, 4))
+                if records:
+                    break
+            assert records, f"no games finished (persistent={persistent})"
+            for r in records:
+                moves = sgf_string_to_moves(r.result.content, size)
+                o = OracleGo(size)
+                for mv in moves:
+                    assert o.play(mv), (persistent, moves)
+
     def test_record_games_are_legal(self):
         """Replaying an emitted record through the oracle validates every
         move (cross-engine legality of self-play output)."""
