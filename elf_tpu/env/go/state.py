@@ -172,32 +172,44 @@ def reset_where(state: GoState, mask: jax.Array, size: int,
     return _tree_where(mask, fresh, state)
 
 
-# Handicap placements (go_state.cc:33 HandicapTable, darkforestGo table),
-# as GTP coords; entries that fall off small boards are skipped.
+# Handicap placements (go_state.cc:33 HandicapTable, darkforestGo table).
 _HANDICAPS = {
     2: ["D4", "Q16"],
     3: ["D4", "Q16", "Q4"],
-    4: ["D4", "Q16", "Q4", "D16"],
-    5: ["D4", "Q16", "Q4", "D16", "K10"],
-    6: ["D4", "Q16", "Q4", "D16", "D10", "Q10"],
-    7: ["D4", "Q16", "Q4", "D16", "D10", "Q10", "K10"],
-    8: ["D4", "Q16", "Q4", "D16", "D10", "Q10", "K16", "K4"],
-    9: ["D4", "Q16", "Q4", "D16", "D10", "Q10", "K16", "K4", "K10"],
+    4: ["D4", "Q16", "D16", "Q4"],
+    5: ["D4", "Q16", "D16", "Q4", "K10"],
+    6: ["D4", "Q16", "D16", "Q4", "D10", "Q10"],
+    7: ["D4", "Q16", "D16", "Q4", "D10", "Q10", "K10"],
+    8: ["D4", "Q16", "D16", "Q4", "D10", "Q10", "K16", "K4"],
+    9: ["D4", "Q16", "D16", "Q4", "D10", "Q10", "K16", "K4", "K10"],
 }
+
+
+def _handicap_flat(s: str, size: int) -> int:
+    """The reference's own handicap-coordinate semantics (go_state.cc:25
+    s2c): letter -> 0-based index-from-top with 'I' skipped, number-1 ->
+    second index.  NOT the GTP row-from-bottom convention — for handicap 2
+    the reference places (3,3)/(15,15), verified bit-exactly against the
+    compiled reference library (tests/golden/ref_traj_19.jsonl.gz)."""
+    row = ord(s[0]) - ord("A")
+    if row >= 9:
+        row -= 1
+    col = int(s[1:]) - 1
+    if not (0 <= row < size and 0 <= col < size):
+        raise ValueError(f"off-board handicap point {s} on {size}x{size}")
+    return row * size + col
 
 
 def apply_handicap(state: GoState, handicap: int, size: int) -> GoState:
     """Place handicap stones as black plays, then restore a fresh-game
     state with white to move (board.cc:109 PlaceHandicap: stones played,
     ply reset to the initial value)."""
-    from elf_tpu.env.go.coords import gtp_to_flat
-
     coords = _HANDICAPS.get(handicap, [])
     B = state.core.stones.shape[0]
     core = state.core
     for gtp in coords:
         try:
-            p = gtp_to_flat(gtp, size)
+            p = _handicap_flat(gtp, size)
         except ValueError:
             continue  # off-board on small sizes
         core = core._replace(to_play=jnp.full((B,), engine.BLACK, jnp.int8))
@@ -209,4 +221,9 @@ def apply_handicap(state: GoState, handicap: int, size: int) -> GoState:
         last_move=jnp.full((B,), -1, jnp.int32),
         ko_age=jnp.full((B,), 10_000, jnp.int32),
     )
-    return state._replace(core=core)
+    # PlaceHandicap stamps last_placed = _ply (the initial 1-based ply;
+    # board.cc:1379) — feeds the history-exp df planes.
+    last_placed = jnp.where(
+        core.stones == engine.BLACK, 1, state.last_placed.astype(jnp.int32)
+    )
+    return state._replace(core=core, last_placed=last_placed)

@@ -2,7 +2,6 @@
 
 import numpy as np
 
-from elf_tpu.env.go.coords import gtp_to_flat
 from elf_tpu.env.go.engine import BLACK, WHITE
 from elf_tpu.env.go.state import apply_handicap, init_state
 
@@ -12,8 +11,11 @@ class TestHandicap:
         s = init_state(1, 19)
         s = apply_handicap(s, 2, 19)
         stones = np.asarray(s.core.stones)[0]
-        for gtp in ("D4", "Q16"):
-            assert stones[gtp_to_flat(gtp, 19)] == BLACK
+        # reference s2c semantics: D4 -> (3,3), Q16 -> (15,15) — verified
+        # bit-exactly against the compiled reference library
+        # (tests/golden/ref_traj_19.jsonl.gz handicap games)
+        for flat in (3 * 19 + 3, 15 * 19 + 15):
+            assert stones[flat] == BLACK
         assert (stones == BLACK).sum() == 2
         # white moves first after handicap; game counters fresh
         assert int(s.core.to_play[0]) == WHITE
@@ -33,5 +35,5 @@ class TestHandicap:
         # 9x9: D4/Q16 etc. -- Q/16 off-board entries skipped, D4 fits
         s = apply_handicap(init_state(1, 9), 2, 9)
         stones = np.asarray(s.core.stones)[0]
-        assert stones[gtp_to_flat("D4", 9)] == BLACK
+        assert stones[3 * 9 + 3] == BLACK  # D4 fits; Q16 off-board
         assert (stones == BLACK).sum() >= 1

@@ -1,0 +1,20 @@
+#!/bin/bash
+# Build the golden-fixture generator against the READ-ONLY reference board
+# library and regenerate tests/golden/ fixtures.  Requires /root/reference.
+set -euo pipefail
+cd "$(dirname "$0")"
+
+REF=/root/reference/src_cpp
+SRC="$REF/elfgames/go/base/common.cc $REF/elfgames/go/base/board.cc \
+     $REF/elfgames/go/base/go_state.cc $REF/elfgames/go/base/board_feature.cc"
+FLAGS="-O2 -std=c++17 -w -I stub_include -I $REF"
+
+mkdir -p build
+g++ $FLAGS -o build/gen_golden_19 gen_golden.cc $SRC
+g++ $FLAGS -DBOARD9x9 -o build/gen_golden_9 gen_golden.cc $SRC
+
+OUT=../../tests/golden
+mkdir -p "$OUT"
+./build/gen_golden_19 6 220 | gzip -9 > "$OUT/ref_traj_19.jsonl.gz"
+./build/gen_golden_9 8 170 | gzip -9 > "$OUT/ref_traj_9.jsonl.gz"
+ls -la "$OUT"
