@@ -196,6 +196,8 @@ class MCTSOptions:
     root_alpha: float = opt(0.03, "Dirichlet concentration")
     pick_method: str = opt("most_visited", "most_visited | prior | uniform_random")
     use_prior: bool = opt(True, "PUCT prior term enabled")
+    unexplored_q_zero: bool = opt(False, "unexplored edges default to Q=0 instead of the parent-mean FPU")
+    root_unexplored_q_zero: bool = opt(False, "Q=0 default at the root only")
     persistent_tree: bool = opt(False, "reuse subtree across moves (treeAdvance)")
 
 

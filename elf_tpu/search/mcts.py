@@ -99,6 +99,14 @@ class MCTSConfig:
     # tree_search_options.h:24; scoring at tree_search_node.h:379:
     # score = q only when off)
     use_prior: bool = True
+    # first-play urgency: an unexplored edge's Q defaults to the node's
+    # running mean unsigned Q seeded from its parent (tree_search_base.h:148
+    # unsigned_default_q + tree_search_node.h:227 unsignedMeanQ_ update);
+    # these flags zero that default instead (SearchAlgoOptions
+    # unexplored_q_zero / root_unexplored_q_zero, tree_search_options.h:26,
+    # both false in the reference's production configs)
+    unexplored_q_zero: bool = False
+    root_unexplored_q_zero: bool = False
     # tree capacity override (TSOptions max_num_moves-adjacent knob the
     # reference exposes as --mcts_max_nodes); 0 = num_rollouts + 2
     max_nodes: int = 0
@@ -149,6 +157,11 @@ class Tree(NamedTuple):
     terminal: jax.Array     # bool [B, N]
     value: jax.Array        # f32 [B, N]      NN/terminal value (black persp.)
     superko: jax.Array      # bool [B, N]     terminal by in-tree repetition
+    # first-play-urgency state (tree_search_node.h:313-317): the node's
+    # running mean unsigned Q (updated at every selection visit) and the
+    # parent's mean at allocation time (const per node)
+    umean_q: jax.Array      # f32 [B, N]
+    uparent_q: jax.Array    # f32 [B, N]
     count: jax.Array        # i32 [B]         allocated nodes
     # the root's un-noised prior: Dirichlet re-mixes on reused roots blend
     # into THIS, never into an already-noised prior
@@ -225,6 +238,8 @@ def _make_tree(B: int, size: int, N: int) -> Tree:
         terminal=jnp.zeros((B, N), jnp.bool_),
         value=zf32(B, N),
         superko=jnp.zeros((B, N), jnp.bool_),
+        umean_q=zf32(B, N),
+        uparent_q=zf32(B, N),
         count=jnp.ones((B,), jnp.int32),  # root pre-allocated
         root_raw_prior=jnp.full((B, A), -1.0, jnp.float32),
     )
@@ -289,8 +304,21 @@ def _edge_stats(tree: Tree, node: jax.Array):
     return n, w, vl
 
 
-def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
-    """[B, A] selection scores at `node` (tree_search_base.h:132 getScore)."""
+def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig,
+                 is_root: jax.Array):
+    """Selection scores at `node`, exactly as the reference computes them
+    (tree_search_node.h:360 UCT + tree_search_base.h:132 getScore):
+
+      q  = (±w - vl) / (n + vl)            for edges with n + vl > 0
+      q  = ±unsignedMeanQ                  for unexplored edges (FPU)
+      u  = c_puct * prior * sqrt(Σn + 1) / (1 + n)   [virtual loss does
+           NOT enter the exploration term — only raw completed visits]
+
+    Returns (scores [B, A], new_umean [B]): the node's updated running
+    mean unsigned Q, which the caller must store (findMove's
+    `unsignedMeanQ_ = (unsignedParentQ_ + Σ unsigned_q) / (visited + 1)`,
+    tree_search_node.h:227).  `is_root` [B] (or scalar) bool enables
+    root_unexplored_q_zero."""
     B = node.shape[0]
     rows = jnp.arange(B)
     prior = tree.prior[rows, node].astype(jnp.float32)   # [B, A]
@@ -302,20 +330,40 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig) -> jax.Array:
     to_play = tree.to_play[rows, node]
     sign = jnp.where(to_play == BLACK, 1.0, -1.0)[:, None]
 
+    # FPU default (possibly zeroed by option, findMove tree_search_node.h:220)
+    umean = tree.umean_q[rows, node]
+    if cfg.unexplored_q_zero:
+        umean = jnp.zeros_like(umean)
+    elif cfg.root_unexplored_q_zero:
+        umean = jnp.where(jnp.broadcast_to(is_root, umean.shape),
+                          0.0, umean)
+    umean2 = umean[:, None]
+
     # virtual loss counts as vl extra visits of value -1 for the mover
     n_eff = n + vl
     w_eff = w * sign - vl
-    q = jnp.where(n_eff > 0, w_eff / jnp.maximum(n_eff, 1.0), 0.0)
+    q = jnp.where(
+        n_eff > 0, w_eff / jnp.maximum(n_eff, 1.0), sign * umean2
+    )
+
+    # running-mean update: per-edge unsigned q (raw w/n, no flip) for
+    # edges with n + vl > 0; vl-only edges contribute the default
+    visited = legal & (n_eff > 0)
+    uq = jnp.where(n > 0, w / jnp.maximum(n, 1.0), umean2)
+    new_umean = (
+        tree.uparent_q[rows, node]
+        + jnp.sum(jnp.where(visited, uq, 0.0), axis=1)
+    ) / (jnp.sum(visited, axis=1).astype(jnp.float32) + 1.0)
 
     if not cfg.use_prior:
         # tree_search_node.h:379: score = q alone when use_prior is off
-        return jnp.where(legal, q, NEG_INF)
-    total = jnp.sum(n_eff, axis=1, keepdims=True)
+        return jnp.where(legal, q, NEG_INF), new_umean
+    total = jnp.sum(n, axis=1, keepdims=True)
     c = cfg.c_puct
     if cfg.white_puct > 0:
         c = jnp.where(to_play == BLACK, cfg.c_puct, cfg.white_puct)[:, None]
-    u = c * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n_eff)
-    return jnp.where(legal, q + u, NEG_INF)
+    u = c * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n)
+    return jnp.where(legal, q + u, NEG_INF), new_umean
 
 
 def _hash_in_ancestors(tree: Tree, node: jax.Array, h_lo: jax.Array,
@@ -364,8 +412,15 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
 
     def body(carry):
         tree, cur, leaf, done, depth = carry
-        scores = _puct_scores(tree, cur, cfg)
+        scores, new_umean = _puct_scores(tree, cur, cfg, depth == 0)
         a = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        # findMove updates the node's running mean unsigned Q on every
+        # selection visit (tree_search_node.h:227)
+        tree = tree._replace(
+            umean_q=tree.umean_q.at[rows, cur].set(
+                jnp.where(~done, new_umean, tree.umean_q[rows, cur])
+            )
+        )
         child = tree.child[rows, cur, a].astype(jnp.int32)
         has_child = child >= 0
         safe_child = jnp.clip(child, 0, tree.stones.shape[1] - 1)
@@ -478,6 +533,17 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
         vl=tree.vl.at[rows, new_id].set(
             jnp.where(need_expand, cfg.virtual_loss, tree.vl[rows, new_id])
         ),
+        # the child inherits the parent's (just-updated) mean unsigned Q
+        # as its FPU seed (followEdge: tree.addNode(unsignedMeanQ_),
+        # tree_search_node.h:298)
+        umean_q=tree.umean_q.at[rows, new_id].set(
+            jnp.where(need_expand, tree.umean_q[rows, exp_node],
+                      tree.umean_q[rows, new_id])
+        ),
+        uparent_q=tree.uparent_q.at[rows, new_id].set(
+            jnp.where(need_expand, tree.umean_q[rows, exp_node],
+                      tree.uparent_q[rows, new_id])
+        ),
         count=tree.count + need_expand.astype(jnp.int32),
     )
     leaf = jnp.where(need_expand, new_id, leaf)
@@ -536,11 +602,17 @@ def _evaluate_states(
     rng: jax.Array,
     cfg: MCTSConfig,
     size: int,
+    last_is_pass: Optional[jax.Array] = None,
 ):
     """Evaluate K gathered states: (prior [K, A], value [K] black persp.).
-    `legal` [K, A] comes from the tree (stored at expansion)."""
+    `legal` [K, A] comes from the tree (stored at expansion).
+    `last_is_pass` [K]: whether the position was reached by a pass — the
+    dangerous-pass heuristic only triggers when it was NOT
+    (mcts.h:232 remove_pass_if_dangerous checks lastMove() != M_PASS)."""
     K = core.stones.shape[0]
     n2 = size * size
+    if last_is_pass is None:
+        last_is_pass = jnp.zeros((K,), jnp.bool_)
 
     codes = (
         jax.random.randint(rng, (K,), 0, 8)
@@ -558,13 +630,14 @@ def _evaluate_states(
     mover_losing = jnp.where(core.to_play == BLACK, ~black_winning, black_winning)
     pass_ok = core.ply >= cfg.ply_pass_enabled
     if cfg.remove_pass_if_dangerous:
-        pass_ok = pass_ok & ~mover_losing
+        pass_ok = pass_ok & (~mover_losing | last_is_pass)
     legal = legal.at[:, n2].set(legal[:, n2] & pass_ok)
     none_legal = ~jnp.any(legal, axis=1)
     legal = legal.at[:, n2].set(legal[:, n2] | none_legal)
 
     pi = jnp.where(legal, pi, 0.0)
-    pi = pi / jnp.maximum(pi.sum(axis=1, keepdims=True), 1e-10)
+    # exact reference normalization: total starts at 1e-10 (mcts.h:243)
+    pi = pi / (pi.sum(axis=1, keepdims=True) + 1e-10)
     prior = jnp.where(legal, pi, -1.0)
 
     term_value = jnp.where(black_winning, 1.0, -1.0)
@@ -573,12 +646,20 @@ def _evaluate_states(
 
 
 def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
-              active0: jax.Array, cfg: MCTSConfig) -> Tree:
+              active0: jax.Array, cfg: MCTSConfig,
+              vl_mult: Optional[jax.Array] = None) -> Tree:
     """Add one visit of `value` (black perspective) along leaf->root
     (updateEdgeStats + virtual-loss removal).  Stats live on the path
-    nodes themselves (each node's incoming edge)."""
+    nodes themselves (each node's incoming edge).
+
+    `vl_mult` [B]: how many virtual losses to remove per edge — when a
+    sim batch selected the same leaf k times, the single backprop removes
+    all k (batch_rollouts: `updateEdgeStats(..., virtual_loss * count)`,
+    tree_search.h:255)."""
     B = leaf.shape[0]
     rows = jnp.arange(B)
+    if vl_mult is None:
+        vl_mult = jnp.ones((B,), jnp.int32)
 
     def cond(carry):
         _, _, active = carry
@@ -593,7 +674,7 @@ def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
             n=tree.n.at[rows, safe].add(jnp.where(upd, 1, 0)),
             w=tree.w.at[rows, safe].add(jnp.where(upd, value, 0.0)),
             vl=tree.vl.at[rows, safe].add(
-                jnp.where(upd, -cfg.virtual_loss, 0)
+                jnp.where(upd, -cfg.virtual_loss * vl_mult, 0)
             ),
         )
         cur = jnp.where(upd, p, cur)
@@ -716,6 +797,8 @@ def advance_tree(
         terminal=scatter(tree.terminal, False),
         value=scatter(tree.value, np.float32(0.0)),
         superko=scatter(tree.superko, False),
+        umean_q=scatter(tree.umean_q, np.float32(0.0)),
+        uparent_q=scatter(tree.uparent_q, np.float32(0.0)),
         count=jnp.maximum(member.sum(axis=1).astype(jnp.int32), 1),
         root_raw_prior=jnp.full(
             (B, A), -1.0, jnp.float32
@@ -781,6 +864,7 @@ def mcts_root_prepare(
     prior_eval, value_eval = _evaluate_states(
         _core_at(tree, rows, root_ids, size), root_terminal,
         snaps, valid, root_legal, eval_fn, k_eval, cfg, size,
+        last_is_pass=root_core.last_move >= size * size,
     )
     # reused roots re-mix noise into the stored RAW prior (the reference
     # rebuilds the root prior from the NN each search; blending into an
@@ -851,6 +935,10 @@ def mcts_simulate(
                                        root_hist_len, size)
         # legality is encoded in the stored prior's sign
         flat_legal = tree.prior[flat_rows, safe] >= 0
+        # the leaf's incoming edge: pass-reached positions relax the
+        # dangerous-pass gate (mcts.h:232).  Root leaves (parent_a = -1)
+        # never take this path with their prior (already expanded).
+        flat_lip = tree.parent_a[flat_rows, safe].astype(jnp.int32) == (A - 1)
         mB = m * B
         if cfg.eval_chunk and mB > cfg.eval_chunk and mB % cfg.eval_chunk == 0:
             # bounded-peak evaluation: sequential chunks of eval_chunk
@@ -862,10 +950,10 @@ def mcts_simulate(
             keys = jax.random.split(k, nch)
 
             def one_chunk(args):
-                core_c, term_c, snaps_c, valid_c, legal_c, key_c = args
+                core_c, term_c, snaps_c, valid_c, legal_c, lip_c, key_c = args
                 return _evaluate_states(
                     core_c, term_c, snaps_c, valid_c, legal_c, eval_fn,
-                    key_c, cfg, size,
+                    key_c, cfg, size, last_is_pass=lip_c,
                 )
 
             priors, values = lax.map(
@@ -876,6 +964,7 @@ def mcts_simulate(
                     chunked(snaps),
                     chunked(valid),
                     chunked(flat_legal),
+                    chunked(flat_lip),
                     keys,
                 ),
             )
@@ -884,7 +973,7 @@ def mcts_simulate(
         else:
             priors, values = _evaluate_states(
                 flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
-                cfg, size
+                cfg, size, last_is_pass=flat_lip,
             )
         # superko-terminal leaves use the stored next-player-wins value,
         # not the TT sign
@@ -894,6 +983,19 @@ def mcts_simulate(
         values = values.reshape(m, B)
 
         # ---- sequential write + backprop per rollout ----
+        # a leaf selected k > 1 times in this batch backprops ONCE (its
+        # first occurrence) but removes all k virtual losses — duplicate
+        # rollouts are wasted, exactly as the reference's traj_counts
+        # dedup (tree_search.h:221-258)
+        if m > 1:
+            eq = leaves[:, None, :] == leaves[None, :, :]          # [m, m, B]
+            earlier = jnp.tril(jnp.ones((m, m), jnp.bool_), -1)[:, :, None]
+            is_dup = jnp.any(eq & earlier, axis=1)                 # [m, B]
+            dup_count = jnp.sum(eq, axis=1).astype(jnp.int32)      # [m, B]
+        else:
+            is_dup = jnp.zeros((1, B), jnp.bool_)
+            dup_count = jnp.ones((1, B), jnp.int32)
+
         def write_and_backprop(i, tree):
             leaf = leaves[i]
             safe = jnp.clip(leaf, 0, tree.stones.shape[1] - 1)
@@ -912,8 +1014,9 @@ def mcts_simulate(
                     tree.expanded[rows, safe] | write
                 ),
             )
-            active0 = ~tree.terminal[:, 0]
-            return _backprop(tree, safe, values[i], active0, cfg)
+            active0 = ~tree.terminal[:, 0] & ~is_dup[i]
+            return _backprop(tree, safe, values[i], active0, cfg,
+                             vl_mult=dup_count[i])
 
         tree = lax.fori_loop(0, m, write_and_backprop, tree)
         return (tree, rng), None

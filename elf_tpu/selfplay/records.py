@@ -46,6 +46,8 @@ class TSOptions:
     pick_method: str = "most_visited"
     c_puct: float = 1.5           # alg_opt.c_puct (tree_search_options.h:23)
     use_prior: bool = True        # alg_opt.use_prior (:24)
+    unexplored_q_zero: bool = False        # alg_opt (:26) FPU-off switches
+    root_unexplored_q_zero: bool = False   # alg_opt (:27)
 
     @property
     def total_rollouts(self) -> int:
@@ -66,13 +68,22 @@ class TSOptions:
             root_alpha=self.root_alpha,
             pick_method=self.pick_method,
             use_prior=self.use_prior,
+            unexplored_q_zero=self.unexplored_q_zero,
+            root_unexplored_q_zero=self.root_unexplored_q_zero,
         )
 
     def to_json(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
         del d["c_puct"]
         del d["use_prior"]
-        d["alg_opt"] = {"c_puct": self.c_puct, "use_prior": self.use_prior}
+        del d["unexplored_q_zero"]
+        del d["root_unexplored_q_zero"]
+        d["alg_opt"] = {
+            "c_puct": self.c_puct,
+            "use_prior": self.use_prior,
+            "unexplored_q_zero": self.unexplored_q_zero,
+            "root_unexplored_q_zero": self.root_unexplored_q_zero,
+        }
         return d
 
     @classmethod
@@ -91,6 +102,9 @@ class TSOptions:
             str(d.get("pick_method", base.pick_method)),
             float(alg.get("c_puct", base.c_puct)),
             bool(alg.get("use_prior", base.use_prior)),
+            bool(alg.get("unexplored_q_zero", base.unexplored_q_zero)),
+            bool(alg.get("root_unexplored_q_zero",
+                         base.root_unexplored_q_zero)),
         )
 
 

@@ -99,6 +99,8 @@ def main(argv=None):
         komi=g.komi,
         ply_pass_enabled=g.ply_pass_enabled,
         use_prior=mo.use_prior,
+        unexplored_q_zero=mo.unexplored_q_zero,
+        root_unexplored_q_zero=mo.root_unexplored_q_zero,
         max_nodes=mo.max_nodes,
     )
     actor = SelfplayActor(acfg, mcfg, eval_builder, seed=g.seed)

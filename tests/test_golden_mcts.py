@@ -1,0 +1,128 @@
+"""MCTS decision parity vs the REFERENCE'S OWN tree-search machinery.
+
+tests/golden/ref_mcts_9.jsonl.gz was produced by
+tools/golden_ref/gen_mcts_golden.cc, which runs the reference's
+NodeT/EdgeInfo/SearchTreeT (tree_search_node.h — PUCT with first-play
+urgency, unsignedMeanQ updates, virtual loss, lazy child allocation,
+edge backprop) plus the Go actor's pass-gating/renormalization semantics
+(mcts/mcts.h), single-threaded at one rollout per batch, over 9x9
+positions with a deterministic pseudo-NN.
+
+This test replays the identical searches through elf_tpu.search.mcts
+(array-of-trees, lockstep) and demands the SAME per-action root visit
+counts — validating PUCT selection math, FPU defaults, terminal/superko
+handling and backprop against the reference implementation itself.
+"""
+
+import gzip
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from elf_tpu.env.go import engine, state as gostate
+from elf_tpu.search.mcts import MCTSConfig, run_mcts
+
+SIZE = 9
+N2 = SIZE * SIZE
+A = N2 + 1
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "ref_mcts_9.jsonl.gz")
+
+
+def _load():
+    with gzip.open(GOLDEN, "rt") as f:
+        return [json.loads(line) for line in f]
+
+
+def _play_prefix(k: int):
+    """Deterministic prefix mirroring gen_mcts_golden.cc play_prefix."""
+    st = gostate.init_state(1, SIZE)
+    for i in range(k):
+        legal = np.asarray(gostate.legal_moves(st, SIZE))[0, :N2]
+        cand = np.nonzero(legal)[0]
+        if len(cand) == 0:
+            break
+        a = int(cand[(i * 37 + 11) % len(cand)])
+        st, _ = gostate.step(st, jnp.array([a], jnp.int32), SIZE)
+    return st
+
+
+def _raw_priors():
+    # gen_mcts_golden.cc raw_prior: a tie-free bijective permutation
+    a = np.arange(A, dtype=np.int64)
+    return (1.0 + ((a * 37 + 13) % A).astype(np.float32) / 64.0).astype(
+        np.float32
+    )
+
+
+def _eval_fn(feats, to_play):
+    """Pseudo-NN matching gen_mcts_golden.cc: fixed per-action priors,
+    value = clip(0.05 * (black_stones - white_stones), -1, 1)."""
+    K = feats.shape[0]
+    log_pi = jnp.broadcast_to(
+        jnp.log(jnp.asarray(_raw_priors()))[None, :], (K, A)
+    )
+    mine = feats[..., 0].reshape(K, N2).sum(axis=1)
+    theirs = feats[..., 1].reshape(K, N2).sum(axis=1)
+    black = jnp.where(to_play == engine.BLACK, mine, theirs)
+    white = jnp.where(to_play == engine.BLACK, theirs, mine)
+    v = jnp.clip((black - white) * 0.05, -1.0, 1.0)
+    return log_pi, v
+
+
+@pytest.mark.parametrize("idx", range(6))
+def test_mcts_visit_parity(idx):
+    games = _load()
+    if idx >= len(games):
+        pytest.skip("fixture has fewer configs")
+    g = games[idx]
+
+    st = _play_prefix(g["prefix"])
+    cfg = MCTSConfig(
+        num_rollouts=g["rollouts"],
+        rollouts_per_batch=1,
+        c_puct=g["c_puct"],
+        virtual_loss=int(g["vl"]),
+        root_epsilon=0.0,
+        komi=7.5,
+        ply_pass_enabled=0,
+        remove_pass_if_dangerous=True,
+        rotation_flip=False,
+        unexplored_q_zero=bool(g["uqz"]),
+        root_unexplored_q_zero=bool(g["ruqz"]),
+    )
+    res, tree = jax.jit(
+        lambda core, hist, hlen, hl, hh, nh, key: run_mcts(
+            core, hist, hlen, _eval_fn, key, cfg, SIZE,
+            game_hash_hist=(hl, hh, nh),
+        )
+    )(
+        st.core, st.stone_hist, st.hist_len,
+        st.hash_hist_lo, st.hash_hist_hi, st.nhash,
+        jax.random.PRNGKey(0),
+    )
+
+    ref_n = np.zeros(A, np.int64)
+    ref_w = np.zeros(A, np.float64)
+    for e in g["edges"]:
+        ref_n[e["a"]] = e["n"]
+        ref_w[e["a"]] = e["w"]
+
+    ours_n = np.asarray(tree.n_edge)[0, 0]          # [A]
+    ours_w = np.asarray(tree.w_edge)[0, 0]
+
+    assert int(ours_n.sum()) == g["root_n"], (
+        f"total root visits {ours_n.sum()} != {g['root_n']}"
+    )
+    if not np.array_equal(ours_n, ref_n):
+        diff = np.nonzero(ours_n != ref_n)[0]
+        msg = "; ".join(
+            f"a={a}: ours {ours_n[a]} ref {ref_n[a]}" for a in diff[:12]
+        )
+        raise AssertionError(f"visit mismatch (cfg {idx}): {msg}")
+    np.testing.assert_allclose(ours_w, ref_w, atol=5e-4,
+                               err_msg=f"w mismatch (cfg {idx})")
+    assert res.root_value[0] == pytest.approx(g["root_value"], abs=1e-6)
