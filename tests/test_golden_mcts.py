@@ -73,7 +73,7 @@ def _eval_fn(feats, to_play):
     return log_pi, v
 
 
-@pytest.mark.parametrize("idx", range(6))
+@pytest.mark.parametrize("idx", range(9))
 def test_mcts_visit_parity(idx):
     games = _load()
     if idx >= len(games):
@@ -83,7 +83,7 @@ def test_mcts_visit_parity(idx):
     st = _play_prefix(g["prefix"])
     cfg = MCTSConfig(
         num_rollouts=g["rollouts"],
-        rollouts_per_batch=1,
+        rollouts_per_batch=int(g.get("per_batch", 1)),
         c_puct=g["c_puct"],
         virtual_loss=int(g["vl"]),
         root_epsilon=0.0,

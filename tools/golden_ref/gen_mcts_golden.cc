@@ -157,7 +157,50 @@ void play_prefix(GoState* s, int k) {
   }
 }
 
-void run_search(int prefix_moves, int num_rollouts,
+struct Traj {
+  Node* leaf = nullptr;
+  std::vector<std::pair<Node*, Coord>> traj;
+  std::vector<int> traj_flat;
+};
+
+// single_rollout (tree_search.h:264)
+Traj single_rollout(Node* root, SearchTree& tree,
+                    const SearchAlgoOptions& alg, float virtual_loss) {
+  Node* node = root;
+  Traj t;
+  int depth = 0;
+  while (node->isVisited()) {
+    Coord action;
+    bool has_move = node->findMove(alg, depth, &action, nullptr);
+    if (!has_move)
+      break;
+    if (virtual_loss > 0)
+      node->addVirtualLoss(action, virtual_loss);
+    t.traj.emplace_back(node, action);
+    t.traj_flat.push_back(coord2flat(action));
+    NodeId next = node->followEdge(action, tree);
+    Node* next_node = tree[next];
+    if (next_node == nullptr)
+      break;
+    Node* parent = node;
+    bool ok = next_node->setStateIfUnset([&]() -> GoState* {
+      GoState* st = new GoState(*parent->getStatePtr());
+      if (!st->forward(action)) {
+        delete st;
+        return nullptr;
+      }
+      return st;
+    });
+    if (!ok)
+      break;
+    node = next_node;
+    ++depth;
+  }
+  t.leaf = node;
+  return t;
+}
+
+void run_search(int prefix_moves, int num_rollouts, int per_batch,
                 const SearchAlgoOptions& alg, float virtual_loss,
                 const ActorParams& params) {
   GoState root_state;
@@ -174,59 +217,57 @@ void run_search(int prefix_moves, int num_rollouts,
     root->setEvaluation(resp);
   }
 
-  printf("{\"prefix\":%d,\"rollouts\":%d,\"c_puct\":%.9g,", prefix_moves,
-         num_rollouts, alg.c_puct);
+  printf("{\"prefix\":%d,\"rollouts\":%d,\"per_batch\":%d,\"c_puct\":%.9g,",
+         prefix_moves, num_rollouts, per_batch, alg.c_puct);
   printf("\"uqz\":%d,\"ruqz\":%d,\"vl\":%.9g,", (int)alg.unexplored_q_zero,
          (int)alg.root_unexplored_q_zero, virtual_loss);
   printf("\"root_value\":%.9g,\"trajs\":[", root->getValue());
 
-  for (int r = 0; r < num_rollouts; ++r) {
-    // single_rollout (tree_search.h:264) at batch size 1
-    Node* node = root;
-    std::vector<std::pair<Node*, Coord>> traj;
-    std::vector<int> traj_flat;
-    int depth = 0;
-    while (node->isVisited()) {
-      Coord action;
-      bool has_move = node->findMove(alg, depth, &action, nullptr);
-      if (!has_move)
-        break;
-      if (virtual_loss > 0)
-        node->addVirtualLoss(action, virtual_loss);
-      traj.emplace_back(node, action);
-      traj_flat.push_back(coord2flat(action));
-      NodeId next = node->followEdge(action, tree);
-      Node* next_node = tree[next];
-      if (next_node == nullptr)
-        break;
-      Node* parent = node;
-      bool ok = next_node->setStateIfUnset([&]() -> GoState* {
-        GoState* st = new GoState(*parent->getStatePtr());
-        if (!st->forward(action)) {
-          delete st;
-          return nullptr;
+  int n_batches = num_rollouts / per_batch;
+  bool first_traj = true;
+  for (int b = 0; b < n_batches; ++b) {
+    // batch_rollouts (tree_search.h:201): m selects under virtual loss,
+    // dedup by leaf, one eval + ONE backprop per distinct leaf removing
+    // all its virtual losses
+    std::vector<Traj> trajs;
+    for (int j = 0; j < per_batch; ++j)
+      trajs.push_back(single_rollout(root, tree, alg, virtual_loss));
+
+    // dedup preserving first-occurrence order (final stats are
+    // order-independent; ordering only matters for determinism of dump)
+    std::vector<std::pair<Traj*, int>> uniq;
+    for (Traj& t : trajs) {
+      bool found = false;
+      for (auto& u : uniq) {
+        if (u.first->leaf == t.leaf) {
+          u.second++;
+          found = true;
+          break;
         }
-        return st;
-      });
-      if (!ok)
-        break;
-      node = next_node;
-      ++depth;
+      }
+      if (!found)
+        uniq.emplace_back(&t, 1);
     }
-    // evaluate leaf + backprop (batch_rollouts, tree_search.h:221-258)
-    if (node->requestEvaluation()) {
-      NodeResponseT<Coord> resp;
-      evaluate_state(*node->getStatePtr(), params, &resp);
-      node->setEvaluation(resp);
+    for (auto& u : uniq) {
+      Node* leaf = u.first->leaf;
+      if (leaf->requestEvaluation()) {
+        NodeResponseT<Coord> resp;
+        evaluate_state(*leaf->getStatePtr(), params, &resp);
+        leaf->setEvaluation(resp);
+      }
+      float reward = leaf->getValue();
+      for (auto& pa : u.first->traj) {
+        pa.first->updateEdgeStats(pa.second, reward,
+                                  virtual_loss * u.second);
+      }
     }
-    float reward = node->getValue();
-    for (auto& pa : traj) {
-      pa.first->updateEdgeStats(pa.second, reward, virtual_loss);
+    for (const Traj& t : trajs) {
+      printf("%s[", first_traj ? "" : ",");
+      first_traj = false;
+      for (size_t i = 0; i < t.traj_flat.size(); ++i)
+        printf("%s%d", i ? "," : "", t.traj_flat[i]);
+      printf("]");
     }
-    printf("%s[", r ? "," : "");
-    for (size_t i = 0; i < traj_flat.size(); ++i)
-      printf("%s%d", i ? "," : "", traj_flat[i]);
-    printf("]");
   }
 
   // final root edge stats in elf_tpu flat-action order
@@ -250,22 +291,28 @@ int main() {
   SearchAlgoOptions alg;
   alg.use_prior = true;
 
-  // config sweep: FPU on/off, two c_puct values, several root positions
+  // config sweep: FPU on/off, two c_puct values, several root positions,
+  // single-rollout batches and virtual-loss batches (m=8)
   struct Cfg {
     int prefix;
     int rollouts;
+    int per_batch;
     float c_puct;
     bool uqz;
+    float vl;
   };
   const Cfg cfgs[] = {
-      {0, 64, 1.5f, false},  {8, 64, 1.5f, false},  {20, 96, 0.85f, false},
-      {33, 64, 1.5f, false}, {20, 64, 1.5f, true},  {57, 80, 0.85f, false},
+      {0, 64, 1, 1.5f, false, 1.0f},  {8, 64, 1, 1.5f, false, 1.0f},
+      {20, 96, 1, 0.85f, false, 1.0f}, {33, 64, 1, 1.5f, false, 1.0f},
+      {20, 64, 1, 1.5f, true, 1.0f},  {57, 80, 1, 0.85f, false, 1.0f},
+      {8, 96, 8, 0.85f, false, 5.0f},  {33, 96, 8, 1.5f, false, 5.0f},
+      {57, 64, 8, 0.85f, false, 1.0f},
   };
   for (const Cfg& c : cfgs) {
     alg.c_puct = c.c_puct;
     alg.unexplored_q_zero = c.uqz;
     alg.root_unexplored_q_zero = false;
-    run_search(c.prefix, c.rollouts, alg, /*virtual_loss=*/1.0f, params);
+    run_search(c.prefix, c.rollouts, c.per_batch, alg, c.vl, params);
   }
   return 0;
 }
