@@ -1,12 +1,13 @@
 """MCTS decision parity vs the REFERENCE'S OWN tree-search machinery.
 
-tests/golden/ref_mcts_9.jsonl.gz was produced by
+tests/golden/ref_mcts_{9,19}.jsonl.gz were produced by
 tools/golden_ref/gen_mcts_golden.cc, which runs the reference's
 NodeT/EdgeInfo/SearchTreeT (tree_search_node.h — PUCT with first-play
 urgency, unsignedMeanQ updates, virtual loss, lazy child allocation,
 edge backprop) plus the Go actor's pass-gating/renormalization semantics
-(mcts/mcts.h), single-threaded at one rollout per batch, over 9x9
-positions with a deterministic pseudo-NN.
+(mcts/mcts.h), single-threaded, over 9x9 and 19x19 positions with a
+deterministic pseudo-NN — both one-rollout batches and virtual-loss
+batches (m=8, batch_rollouts dedup semantics).
 
 This test replays the identical searches through elf_tpu.search.mcts
 (array-of-trees, lockstep) and demands the SAME per-action root visit
@@ -26,61 +27,63 @@ import pytest
 from elf_tpu.env.go import engine, state as gostate
 from elf_tpu.search.mcts import MCTSConfig, run_mcts
 
-SIZE = 9
-N2 = SIZE * SIZE
-A = N2 + 1
-GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "ref_mcts_9.jsonl.gz")
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 
-def _load():
-    with gzip.open(GOLDEN, "rt") as f:
+def _load(size):
+    path = os.path.join(GOLDEN_DIR, f"ref_mcts_{size}.jsonl.gz")
+    with gzip.open(path, "rt") as f:
         return [json.loads(line) for line in f]
 
 
-def _play_prefix(k: int):
+def _play_prefix(k: int, size: int):
     """Deterministic prefix mirroring gen_mcts_golden.cc play_prefix."""
-    st = gostate.init_state(1, SIZE)
+    n2 = size * size
+    st = gostate.init_state(1, size)
     for i in range(k):
-        legal = np.asarray(gostate.legal_moves(st, SIZE))[0, :N2]
+        legal = np.asarray(gostate.legal_moves(st, size))[0, :n2]
         cand = np.nonzero(legal)[0]
         if len(cand) == 0:
             break
         a = int(cand[(i * 37 + 11) % len(cand)])
-        st, _ = gostate.step(st, jnp.array([a], jnp.int32), SIZE)
+        st, _ = gostate.step(st, jnp.array([a], jnp.int32), size)
     return st
 
 
-def _raw_priors():
-    # gen_mcts_golden.cc raw_prior: a tie-free bijective permutation
-    a = np.arange(A, dtype=np.int64)
-    return (1.0 + ((a * 37 + 13) % A).astype(np.float32) / 64.0).astype(
-        np.float32
-    )
+def _raw_priors(A):
+    # gen_mcts_golden.cc raw_prior: tie-free geometric ladder (2 bf16
+    # ulps apart so bf16-rounded normalized priors never collide)
+    perm = ((np.arange(A, dtype=np.int64) * 37 + 13) % A)
+    return (
+        (1.0 + (perm % 64) / 64.0) * np.exp2(perm // 64)
+    ).astype(np.float32)
 
 
-def _eval_fn(feats, to_play):
-    """Pseudo-NN matching gen_mcts_golden.cc: fixed per-action priors,
-    value = clip(0.05 * (black_stones - white_stones), -1, 1)."""
-    K = feats.shape[0]
-    log_pi = jnp.broadcast_to(
-        jnp.log(jnp.asarray(_raw_priors()))[None, :], (K, A)
-    )
-    mine = feats[..., 0].reshape(K, N2).sum(axis=1)
-    theirs = feats[..., 1].reshape(K, N2).sum(axis=1)
-    black = jnp.where(to_play == engine.BLACK, mine, theirs)
-    white = jnp.where(to_play == engine.BLACK, theirs, mine)
-    v = jnp.clip((black - white) * 0.05, -1.0, 1.0)
-    return log_pi, v
+def _make_eval_fn(size):
+    n2 = size * size
+    A = n2 + 1
+
+    def eval_fn(feats, to_play):
+        """Pseudo-NN matching gen_mcts_golden.cc: fixed per-action priors,
+        value = clip(0.05 * (black_stones - white_stones), -1, 1)."""
+        K = feats.shape[0]
+        log_pi = jnp.broadcast_to(
+            jnp.log(jnp.asarray(_raw_priors(A)))[None, :], (K, A)
+        )
+        mine = feats[..., 0].reshape(K, n2).sum(axis=1)
+        theirs = feats[..., 1].reshape(K, n2).sum(axis=1)
+        black = jnp.where(to_play == engine.BLACK, mine, theirs)
+        white = jnp.where(to_play == engine.BLACK, theirs, mine)
+        v = jnp.clip((black - white) * 0.05, -1.0, 1.0)
+        return log_pi, v
+
+    return eval_fn
 
 
-@pytest.mark.parametrize("idx", range(9))
-def test_mcts_visit_parity(idx):
-    games = _load()
-    if idx >= len(games):
-        pytest.skip("fixture has fewer configs")
-    g = games[idx]
-
-    st = _play_prefix(g["prefix"])
+def _run_case(g, size):
+    n2 = size * size
+    A = n2 + 1
+    st = _play_prefix(g["prefix"], size)
     cfg = MCTSConfig(
         num_rollouts=g["rollouts"],
         rollouts_per_batch=int(g.get("per_batch", 1)),
@@ -94,9 +97,10 @@ def test_mcts_visit_parity(idx):
         unexplored_q_zero=bool(g["uqz"]),
         root_unexplored_q_zero=bool(g["ruqz"]),
     )
+    eval_fn = _make_eval_fn(size)
     res, tree = jax.jit(
         lambda core, hist, hlen, hl, hh, nh, key: run_mcts(
-            core, hist, hlen, _eval_fn, key, cfg, SIZE,
+            core, hist, hlen, eval_fn, key, cfg, size,
             game_hash_hist=(hl, hh, nh),
         )
     )(
@@ -117,12 +121,29 @@ def test_mcts_visit_parity(idx):
     assert int(ours_n.sum()) == g["root_n"], (
         f"total root visits {ours_n.sum()} != {g['root_n']}"
     )
+    label = f"size {size} prefix {g['prefix']} m {g.get('per_batch', 1)}"
     if not np.array_equal(ours_n, ref_n):
         diff = np.nonzero(ours_n != ref_n)[0]
         msg = "; ".join(
             f"a={a}: ours {ours_n[a]} ref {ref_n[a]}" for a in diff[:12]
         )
-        raise AssertionError(f"visit mismatch (cfg {idx}): {msg}")
+        raise AssertionError(f"visit mismatch ({label}): {msg}")
     np.testing.assert_allclose(ours_w, ref_w, atol=5e-4,
-                               err_msg=f"w mismatch (cfg {idx})")
+                               err_msg=f"w mismatch ({label})")
     assert res.root_value[0] == pytest.approx(g["root_value"], abs=1e-6)
+
+
+@pytest.mark.parametrize("idx", range(9))
+def test_mcts_visit_parity_9(idx):
+    games = _load(9)
+    if idx >= len(games):
+        pytest.skip("fixture has fewer configs")
+    _run_case(games[idx], 9)
+
+
+@pytest.mark.parametrize("idx", range(2))
+def test_mcts_visit_parity_19(idx):
+    games = _load(19)
+    if idx >= len(games):
+        pytest.skip("fixture has fewer configs")
+    _run_case(games[idx], 19)

@@ -13,10 +13,12 @@ mkdir -p build
 g++ $FLAGS -o build/gen_golden_19 gen_golden.cc $SRC
 g++ $FLAGS -DBOARD9x9 -o build/gen_golden_9 gen_golden.cc $SRC
 g++ $FLAGS -DBOARD9x9 -o build/gen_mcts_golden_9 gen_mcts_golden.cc $SRC
+g++ $FLAGS -o build/gen_mcts_golden_19 gen_mcts_golden.cc $SRC
 
 OUT=../../tests/golden
 mkdir -p "$OUT"
 ./build/gen_golden_19 6 220 | gzip -9 > "$OUT/ref_traj_19.jsonl.gz"
 ./build/gen_golden_9 8 170 | gzip -9 > "$OUT/ref_traj_9.jsonl.gz"
 ./build/gen_mcts_golden_9 | gzip -9 > "$OUT/ref_mcts_9.jsonl.gz"
+./build/gen_mcts_golden_19 | gzip -9 > "$OUT/ref_mcts_19.jsonl.gz"
 ls -la "$OUT"

@@ -68,11 +68,15 @@ float bf16_round(float x) {
 }
 
 // deterministic pseudo-NN: distinct per-action raw weights (a bijective
-// permutation, so no two actions ever tie — unordered_map iteration
-// order decides reference ties, which lockstep argmax cannot mirror) +
-// a value that is an exact float expression of the stone count difference
+// permutation mapped onto a geometric ladder of exactly-representable
+// floats spaced 2 bfloat16 ulps apart, so normalized priors stay
+// distinct after the tree's bf16 rounding — otherwise unordered_map
+// iteration order decides reference ties, which lockstep argmax cannot
+// mirror) + a value that is an exact float expression of the stone
+// count difference
 float raw_prior(int flat) {
-  return 1.0f + (float)((flat * 37 + 13) % (N2 + 1)) / 64.0f;
+  int perm = (flat * 37 + 13) % (N2 + 1);
+  return ldexpf(1.0f + (float)(perm % 64) / 64.0f, perm / 64);
 }
 
 float pseudo_value(const GoState& s) {
@@ -301,6 +305,7 @@ int main() {
     bool uqz;
     float vl;
   };
+#ifdef BOARD9x9
   const Cfg cfgs[] = {
       {0, 64, 1, 1.5f, false, 1.0f},  {8, 64, 1, 1.5f, false, 1.0f},
       {20, 96, 1, 0.85f, false, 1.0f}, {33, 64, 1, 1.5f, false, 1.0f},
@@ -308,6 +313,12 @@ int main() {
       {8, 96, 8, 0.85f, false, 5.0f},  {33, 96, 8, 1.5f, false, 5.0f},
       {57, 64, 8, 0.85f, false, 1.0f},
   };
+#else
+  const Cfg cfgs[] = {
+      {24, 64, 1, 1.5f, false, 1.0f},
+      {90, 64, 8, 0.85f, false, 5.0f},
+  };
+#endif
   for (const Cfg& c : cfgs) {
     alg.c_puct = c.c_puct;
     alg.unexplored_q_zero = c.uqz;
