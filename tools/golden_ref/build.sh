@@ -14,6 +14,8 @@ g++ $FLAGS -o build/gen_golden_19 gen_golden.cc $SRC
 g++ $FLAGS -DBOARD9x9 -o build/gen_golden_9 gen_golden.cc $SRC
 g++ $FLAGS -DBOARD9x9 -o build/gen_mcts_golden_9 gen_mcts_golden.cc $SRC
 g++ $FLAGS -o build/gen_mcts_golden_19 gen_mcts_golden.cc $SRC
+g++ $FLAGS -o build/gen_sgf_golden_19 gen_sgf_golden.cc $REF/elfgames/go/sgf/sgf.cc \
+    $REF/elfgames/go/base/common.cc $REF/elfgames/go/base/board.cc
 
 OUT=../../tests/golden
 mkdir -p "$OUT"
@@ -21,4 +23,5 @@ mkdir -p "$OUT"
 ./build/gen_golden_9 8 170 | gzip -9 > "$OUT/ref_traj_9.jsonl.gz"
 ./build/gen_mcts_golden_9 | gzip -9 > "$OUT/ref_mcts_9.jsonl.gz"
 ./build/gen_mcts_golden_19 | gzip -9 > "$OUT/ref_mcts_19.jsonl.gz"
+./build/gen_sgf_golden_19 | gzip -9 > "$OUT/ref_sgf_codec_19.jsonl.gz"
 ls -la "$OUT"
