@@ -138,7 +138,11 @@ void play_game(uint32_t seed, int handicap, int max_plies, double pass_prob) {
     ++ply;
 
     if ((ply == 30 || ply == 75 || ply == 140) && !s.terminated()) {
-      for (int code : {0, 5}) {
+      // ply 30: all 8 D4 codes (transform-convention coverage);
+      // later plies: identity + one rot+flip
+      for (int code = 0; code < 8; ++code) {
+        if (ply != 30 && code != 0 && code != 5)
+          continue;
         BoardFeature bf(s);
         bf.setD4Code(code);
         std::vector<float> agz, df;
