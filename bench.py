@@ -12,6 +12,7 @@ publishes no throughput numbers of its own.
 Extra diagnostics (NN fwd throughput, MCTS rollouts/s) go to stderr.
 """
 
+import functools
 import json
 import sys
 import time
@@ -38,8 +39,11 @@ def bench_env_steps(B=4096, size=19, chunk=64, iters=4):
 
     fresh_legal = jnp.ones((B, size * size + 1), jnp.bool_)
 
+    # `fresh` is an explicit argument: a closed-over device array would be
+    # embedded as an HLO constant, forcing a device->host fetch of the
+    # whole pytree at LOWERING time (slow/fragile over a remote tunnel)
     @jax.jit
-    def rollout_chunk(core, legal, key):
+    def rollout_chunk(fresh, core, legal, key):
         def body(carry, _):
             core, legal, key = carry
             key, k = jax.random.split(key)
@@ -57,6 +61,7 @@ def bench_env_steps(B=4096, size=19, chunk=64, iters=4):
         )
         return core, legal, key
 
+    rollout_chunk = functools.partial(rollout_chunk, fresh)
     core = engine.init_core(B, size)
     key = jax.random.PRNGKey(0)
     # warmup: first call compiles; a couple more settle the device tunnel /
@@ -88,18 +93,20 @@ def bench_nn_forward(batch=128, blocks=20, dim=256):
         return model.apply(v, x, train=False)
 
     # chain iterations through the input so no call can be elided or served
-    # from a value cache by the device tunnel
+    # from a value cache by the device tunnel.  `variables` is an explicit
+    # argument (closed-over weights would be baked into the HLO as a
+    # ~90 MB constant, fetched device->host at lowering).
     @jax.jit
-    def chain(x, _pi, v):
+    def chain(variables, x, _pi, v):
         return x + (v[:1, None, None, None] * 0), *fwd(variables, x)
 
     pi, v = fwd(variables, x)
-    x, pi, v = chain(x, pi, v)  # warm up the chain jit itself
+    x, pi, v = chain(variables, x, pi, v)  # warm up the chain jit itself
     _ = np.asarray(v[:1])
     t0 = time.perf_counter()
     n = 8
     for _ in range(n):
-        x, pi, v = chain(x, pi, v)
+        x, pi, v = chain(variables, x, pi, v)
     _ = np.asarray(v[:1])
     dt = time.perf_counter() - t0
     return batch * n / dt
@@ -107,8 +114,6 @@ def bench_nn_forward(batch=128, blocks=20, dim=256):
 
 def bench_mcts_rollouts(B=16, rollouts=64, m=8, blocks=20, dim=256):
     """MCTS rollouts/s at the production net (BASELINE.md primary metric)."""
-    import functools
-
     from elf_tpu.env.go.engine import init_core
     from elf_tpu.env.go.state import MAX_AGZ_HISTORY
     from elf_tpu.models.resnet import ModelConfig, PolicyValueNet
@@ -119,23 +124,26 @@ def bench_mcts_rollouts(B=16, rollouts=64, m=8, blocks=20, dim=256):
     x = jnp.zeros((1, 19, 19, 18))
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
-    def eval_fn(feats, to_play):
-        return model.apply(variables, feats, train=False)
-
     mcfg = MCTSConfig(num_rollouts=rollouts, rollouts_per_batch=m,
                       rotation_flip=True)
-    fn = jax.jit(functools.partial(run_mcts, eval_fn=eval_fn, cfg=mcfg, size=19))
+
+    # weights enter via the argument list, not the closure (see above)
+    @jax.jit
+    def fn(variables, core, hist, hlen, rng):
+        def eval_fn(feats, to_play):
+            return model.apply(variables, feats, train=False)
+
+        return run_mcts(core, hist, hlen, eval_fn, rng, mcfg, 19)
+
     core = init_core(B, 19)
     hist = jnp.zeros((B, MAX_AGZ_HISTORY, 361), jnp.int8)
     hlen = jnp.zeros((B,), jnp.int32)
-    res, _ = fn(root_core=core, root_hist=hist, root_hist_len=hlen,
-                rng=jax.random.PRNGKey(0))
+    res, _ = fn(variables, core, hist, hlen, jax.random.PRNGKey(0))
     _ = np.asarray(res.mcts_policy[:1, :1])
     t0 = time.perf_counter()
     n = 3
     for i in range(n):
-        res, _ = fn(root_core=core, root_hist=hist, root_hist_len=hlen,
-                    rng=jax.random.PRNGKey(i + 1))
+        res, _ = fn(variables, core, hist, hlen, jax.random.PRNGKey(i + 1))
         _ = np.asarray(res.mcts_policy[:1, :1])  # force execution
     dt = time.perf_counter() - t0
     return B * rollouts * n / dt
