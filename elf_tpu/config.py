@@ -180,6 +180,14 @@ class GameOptions:
     following_pass: bool = opt(
         False, "answer an opponent pass with a pass when clearly winning"
     )
+    white_puct: float = opt(
+        -1.0, "white player's c_puct for its whole search (-1 = same as "
+        "black; go_game_specific.h:89)"
+    )
+    white_num_rollouts: int = opt(
+        0, "white player's total rollouts per move (reference: "
+        "white_mcts_rollout_per_thread x num_threads; 0 = same as black)"
+    )
     use_mcts: bool = opt(True, "search-driven play (false = policy only)")
 
 

@@ -93,8 +93,17 @@ class MCTSConfig:
     # (tree_search_base.h:213 MCTSResultT RankCriterion)
     pick_method: str = "most_visited"
     # asymmetric exploration for the white mover (go_game_specific.h:89
-    # white_puct; -1 = same as c_puct) — used by eval games
+    # white_puct; -1 = same as c_puct) — used by eval games.  Applied to
+    # the whole search of a white-rooted board (the reference builds the
+    # white player's AI with its own TSOptions, game_selfplay.cc:173).
     white_puct: float = -1.0
+    # per-player rollout budget for the white mover
+    # (white_mcts_rollout_per_thread x num_threads, go_game_specific.h:90;
+    # 0 = same as num_rollouts).  White-rooted boards stop simulating
+    # after their budget; the lockstep batch still runs to the larger
+    # budget with finished boards masked.  (The reference's per-player
+    # rollouts-per-NN-batch knob has no lockstep analog: m is shared.)
+    white_num_rollouts: int = 0
     # PUCT exploration term on/off (SearchAlgoOptions.use_prior,
     # tree_search_options.h:24; scoring at tree_search_node.h:379:
     # score = q only when off)
@@ -361,7 +370,12 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig,
     total = jnp.sum(n, axis=1, keepdims=True)
     c = cfg.c_puct
     if cfg.white_puct > 0:
-        c = jnp.where(to_play == BLACK, cfg.c_puct, cfg.white_puct)[:, None]
+        # per-PLAYER option: the white mover's AI runs its whole search
+        # with white_puct (game_selfplay.cc:177 init_ai builds the white
+        # MCTSAI with its own TSOptions) — keyed off the ROOT's player,
+        # constant throughout the tree, not per node
+        root_player = tree.to_play[:, 0]
+        c = jnp.where(root_player == BLACK, cfg.c_puct, cfg.white_puct)[:, None]
     u = c * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n)
     return jnp.where(legal, q + u, NEG_INF), new_umean
 
@@ -397,11 +411,14 @@ def _hash_in_ancestors(tree: Tree, node: jax.Array, h_lo: jax.Array,
 
 
 def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
-                       game_hh_lo=None, game_hh_hi=None, game_nhash=None):
+                       game_hh_lo=None, game_hh_hi=None, game_nhash=None,
+                       active=None):
     """One rollout's select+expand for all B trees.  Returns (tree, leaf_id).
 
     leaf_id: newly allocated node (pending eval), an existing pending node,
-    an existing terminal node, or the root for terminal/degenerate roots."""
+    an existing terminal node, or the root for terminal/degenerate roots.
+    `active` [B] (optional): boards with False neither select nor expand
+    (their leaf is the root, which backprop ignores)."""
     B = tree.stones.shape[0]
     rows = jnp.arange(B)
     A = size * size + 1
@@ -449,6 +466,8 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
     cur0 = jnp.zeros((B,), jnp.int32)
     leaf0 = jnp.zeros((B,), jnp.int32)  # fallback: root (re-eval)
     done0 = tree.terminal[:, 0]         # terminal roots: nothing to select
+    if active is not None:
+        done0 = done0 | ~active
     tree, cur, leaf, done, _ = lax.while_loop(
         cond, body, (tree, cur0, leaf0, done0, jnp.int32(0))
     )
@@ -902,24 +921,38 @@ def mcts_simulate(
     size: int,
     n_batches: int,
     game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    batch_offset=0,
 ) -> Tree:
     """Phase 2: run `n_batches` simulation batches (each =
     rollouts_per_batch select/expand passes + one fused leaf evaluation +
-    backprops).  Host-loopable: jit with the tree donated."""
+    backprops).  Host-loopable: jit with the tree donated.
+
+    `batch_offset`: global index of the first batch (host-chunked
+    searches pass their cumulative offset so per-player rollout budgets
+    — white_num_rollouts — count across chunks)."""
     B = tree.stones.shape[0]
     rows = jnp.arange(B)
     A = size * size + 1
     m = max(1, cfg.rollouts_per_batch)
 
-    def sim_batch(carry, _):
+    if cfg.white_num_rollouts > 0:
+        black_nb = max(1, cfg.num_rollouts // m)
+        white_nb = max(1, cfg.white_num_rollouts // m)
+        budget = jnp.where(tree.to_play[:, 0] == BLACK, black_nb, white_nb)
+    else:
+        budget = None
+
+    def sim_batch(carry, batch_idx):
         tree, rng = carry
+        active = None if budget is None else (batch_idx < budget)
 
         def one_select(tree, _):
             if game_hash_hist is not None:
                 gl, gh, gn = game_hash_hist
             else:
                 gl = gh = gn = None
-            tree, leaf = _select_and_expand(tree, cfg, size, gl, gh, gn)
+            tree, leaf = _select_and_expand(tree, cfg, size, gl, gh, gn,
+                                            active=active)
             return tree, leaf
 
         tree, leaves = lax.scan(one_select, tree, None, length=m)  # [m, B]
@@ -1015,13 +1048,18 @@ def mcts_simulate(
                 ),
             )
             active0 = ~tree.terminal[:, 0] & ~is_dup[i]
+            if active is not None:
+                active0 = active0 & active
             return _backprop(tree, safe, values[i], active0, cfg,
                              vl_mult=dup_count[i])
 
         tree = lax.fori_loop(0, m, write_and_backprop, tree)
         return (tree, rng), None
 
-    (tree, _), _ = lax.scan(sim_batch, (tree, rng), None, length=n_batches)
+    (tree, _), _ = lax.scan(
+        sim_batch, (tree, rng),
+        jnp.arange(n_batches, dtype=jnp.int32) + batch_offset,
+    )
     return tree
 
 
@@ -1087,7 +1125,7 @@ def run_mcts(
         init_tree=init_tree,
     )
     m = max(1, cfg.rollouts_per_batch)
-    n_batches = max(1, cfg.num_rollouts // m)
+    n_batches = max(1, max(cfg.num_rollouts, cfg.white_num_rollouts) // m)
     tree = mcts_simulate(
         tree, root_hist, root_hist_len, eval_fn, k_sim, cfg, size,
         n_batches, game_hash_hist=game_hash_hist,

@@ -358,7 +358,9 @@ class SelfplayActor:
         cfg = self.cfg
         mcfg = self.mcts_cfg
         m = max(1, mcfg.rollouts_per_batch)
-        total_batches = max(1, mcfg.num_rollouts // m)
+        total_batches = max(
+            1, max(mcfg.num_rollouts, mcfg.white_num_rollouts) // m
+        )
         chunk = min(mcfg.max_batches_per_call, total_batches)
         n_full, rem = divmod(total_batches, chunk)
 
@@ -371,13 +373,17 @@ class SelfplayActor:
             )
 
         def make_sim(n_batches):
-            def simulate(tree, state: GoState, params, batch_stats, key):
+            def simulate(tree, state: GoState, params, batch_stats, key,
+                         offset):
                 eval_fn = self.eval_fn_builder(params, batch_stats)
                 return mcts_simulate(
                     tree, state.stone_hist, state.hist_len, eval_fn, key,
                     mcfg, size, n_batches,
                     game_hash_hist=(state.hash_hist_lo, state.hash_hist_hi,
                                     state.nhash),
+                    # cumulative sim-batch offset: per-player rollout
+                    # budgets (white_num_rollouts) count across chunks
+                    batch_offset=offset,
                 )
 
             return simulate
@@ -437,8 +443,10 @@ class SelfplayActor:
             ),
             "simulate": jit_with(
                 make_sim(chunk), donate=(0,),
-                in_sh=(batched, batched, repl, repl, repl), out_sh=batched,
+                in_sh=(batched, batched, repl, repl, repl, repl),
+                out_sh=batched,
             ),
+            "chunk": chunk,
             "finish": jit_with(
                 finish, donate=(0, 1),
                 in_sh=(batched, batched, repl, batched, repl),
@@ -450,7 +458,8 @@ class SelfplayActor:
         if rem:
             fns["simulate_rem"] = jit_with(
                 make_sim(rem), donate=(0,),
-                in_sh=(batched, batched, repl, repl, repl), out_sh=batched,
+                in_sh=(batched, batched, repl, repl, repl, repl),
+                out_sh=batched,
             )
         return fns
 
@@ -479,11 +488,13 @@ class SelfplayActor:
             tree = fns["simulate"](
                 tree, self.state, params, batch_stats,
                 jax.random.fold_in(k_sim, i),
+                jnp.int32(i * fns["chunk"]),
             )
         if "simulate_rem" in fns:
             tree = fns["simulate_rem"](
                 tree, self.state, params, batch_stats,
                 jax.random.fold_in(k_sim, -1),
+                jnp.int32(fns["n_full"] * fns["chunk"]),
             )
         outs = fns["finish"](self.state, tree, k_fin, nr, resign_thres)
         if cfg.persistent_tree:

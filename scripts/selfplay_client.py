@@ -98,6 +98,8 @@ def main(argv=None):
         root_alpha=mo.root_alpha,
         komi=g.komi,
         ply_pass_enabled=g.ply_pass_enabled,
+        white_puct=g.white_puct,
+        white_num_rollouts=g.white_num_rollouts,
         use_prior=mo.use_prior,
         unexplored_q_zero=mo.unexplored_q_zero,
         root_unexplored_q_zero=mo.root_unexplored_q_zero,

@@ -261,3 +261,55 @@ class TestInTreeSuperko:
             assert pa < 25, "pass move marked as superko"
             v = float(np.asarray(tree.value)[0, n])
             assert v in (-1.0, 1.0)
+
+
+class TestPerPlayerOptions:
+    def test_white_rollout_budget(self):
+        """white_num_rollouts caps white-rooted boards' searches
+        (go_game_specific.h:90 white_mcts_rollout_per_thread)."""
+        size = 5
+        B = 2
+        core = init_core(B, size)
+        # board 1: white to move at the root
+        core = core._replace(
+            to_play=jnp.asarray([BLACK, WHITE], jnp.int8)
+        )
+        cfg = MCTSConfig(
+            num_rollouts=32, rollouts_per_batch=4, c_puct=1.5,
+            rotation_flip=False, remove_pass_if_dangerous=False,
+            white_num_rollouts=16,
+        )
+        hist, hlen = empty_hist(B, size)
+        _, tree = run_mcts(core, hist, hlen, uniform_eval(26),
+                           jax.random.PRNGKey(0), cfg, size)
+        root_visits = np.asarray(tree.n_edge)[:, 0].sum(axis=1)
+        assert root_visits[0] == 32   # black budget
+        assert root_visits[1] == 16   # white budget
+
+    def test_white_budget_chunked_offset(self):
+        """The budget counts across host-chunked simulate calls."""
+        from elf_tpu.search.mcts import (
+            mcts_finalize, mcts_root_prepare, mcts_simulate,
+        )
+
+        size = 5
+        B = 2
+        core = init_core(B, size)
+        core = core._replace(to_play=jnp.asarray([BLACK, WHITE], jnp.int8))
+        cfg = MCTSConfig(
+            num_rollouts=32, rollouts_per_batch=4, c_puct=1.5,
+            rotation_flip=False, remove_pass_if_dangerous=False,
+            white_num_rollouts=16,
+        )
+        hist, hlen = empty_hist(B, size)
+        eval_fn = uniform_eval(26)
+        tree = mcts_root_prepare(core, hist, hlen, eval_fn,
+                                 jax.random.PRNGKey(1), cfg, size)
+        # 8 total sim batches in chunks of 2, offsets threaded through
+        for i in range(4):
+            tree = mcts_simulate(tree, hist, hlen, eval_fn,
+                                 jax.random.fold_in(jax.random.PRNGKey(2), i),
+                                 cfg, size, 2, batch_offset=2 * i)
+        root_visits = np.asarray(tree.n_edge)[:, 0].sum(axis=1)
+        assert root_visits[0] == 32
+        assert root_visits[1] == 16
