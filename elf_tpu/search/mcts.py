@@ -104,6 +104,10 @@ class MCTSConfig:
     # budget with finished boards masked.  (The reference's per-player
     # rollouts-per-NN-batch knob has no lockstep analog: m is shared.)
     white_num_rollouts: int = 0
+    # player_swap moves the white-options AI onto BLACK for eval halves
+    # (game_selfplay.cc:182 swap(_ai, _ai2)): when True the white_* knobs
+    # apply to black-rooted boards instead
+    white_opts_on_black: bool = False
     # PUCT exploration term on/off (SearchAlgoOptions.use_prior,
     # tree_search_options.h:24; scoring at tree_search_node.h:379:
     # score = q only when off)
@@ -134,7 +138,9 @@ class MCTSConfig:
 
     @property
     def num_nodes(self) -> int:
-        return self.max_nodes if self.max_nodes > 0 else self.num_rollouts + 2
+        if self.max_nodes > 0:
+            return self.max_nodes
+        return max(self.num_rollouts, self.white_num_rollouts) + 2
 
 
 class Tree(NamedTuple):
@@ -370,12 +376,15 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig,
     total = jnp.sum(n, axis=1, keepdims=True)
     c = cfg.c_puct
     if cfg.white_puct > 0:
-        # per-PLAYER option: the white mover's AI runs its whole search
+        # per-PLAYER option: the white-options AI runs its whole search
         # with white_puct (game_selfplay.cc:177 init_ai builds the white
         # MCTSAI with its own TSOptions) — keyed off the ROOT's player,
-        # constant throughout the tree, not per node
+        # constant throughout the tree, not per node; white_opts_on_black
+        # flips the keying for player-swapped eval halves
         root_player = tree.to_play[:, 0]
-        c = jnp.where(root_player == BLACK, cfg.c_puct, cfg.white_puct)[:, None]
+        opts_player = BLACK if cfg.white_opts_on_black else engine.WHITE
+        c = jnp.where(root_player == opts_player, cfg.white_puct,
+                      cfg.c_puct)[:, None]
     u = c * jnp.maximum(prior, 0.0) * jnp.sqrt(total + 1.0) / (1.0 + n)
     return jnp.where(legal, q + u, NEG_INF), new_umean
 
@@ -938,7 +947,9 @@ def mcts_simulate(
     if cfg.white_num_rollouts > 0:
         black_nb = max(1, cfg.num_rollouts // m)
         white_nb = max(1, cfg.white_num_rollouts // m)
-        budget = jnp.where(tree.to_play[:, 0] == BLACK, black_nb, white_nb)
+        opts_player = BLACK if cfg.white_opts_on_black else engine.WHITE
+        budget = jnp.where(tree.to_play[:, 0] == opts_player,
+                           white_nb, black_nb)
     else:
         budget = None
 

@@ -137,6 +137,9 @@ class SelfplayActor:
         self._move_fn = None
         self._reset_fn = None
         self._chunked_fns = None
+        # jitted-fn variants keyed by white_opts_on_black (player_swap
+        # moves the white-options AI onto black, game_selfplay.cc:182)
+        self._fn_variants = {}
 
         B = cfg.batch
         self._fresh_state = self._make_fresh_state(B)
@@ -215,6 +218,7 @@ class SelfplayActor:
         self.cfg = new_cfg
         self._move_fn = None
         self._chunked_fns = None
+        self._fn_variants = {}
         self.tree = None
         return True
 
@@ -475,7 +479,8 @@ class SelfplayActor:
                 from elf_tpu.search.mcts import fresh_tree
 
                 capacity = self.mcts_cfg.max_nodes or (
-                    2 * self.mcts_cfg.num_rollouts + 2
+                    2 * max(self.mcts_cfg.num_rollouts,
+                            self.mcts_cfg.white_num_rollouts) + 2
                 )
                 self.tree = fresh_tree(cfg.batch, self.size,
                                        max(capacity, 3), self.state.core)
@@ -505,10 +510,34 @@ class SelfplayActor:
 
     # ----------------------------------------------------------------- host
 
+    def _select_white_opts_variant(self, request) -> None:
+        """Per-player options follow the white_ver MODEL, and player_swap
+        moves that model onto black (game_selfplay.cc:182 swap(_ai, _ai2))
+        — flip the config's white_opts_on_black to match, swapping the
+        cached jitted builds in/out."""
+        mcfg = self.mcts_cfg
+        if mcfg.white_puct <= 0 and mcfg.white_num_rollouts <= 0:
+            return
+        swap = bool(
+            request is not None
+            and not request.vers.is_selfplay()
+            and request.client_ctrl.player_swap
+        )
+        if mcfg.white_opts_on_black == swap:
+            return
+        self._fn_variants[mcfg.white_opts_on_black] = (
+            self._move_fn, self._chunked_fns
+        )
+        self.mcts_cfg = dataclasses.replace(mcfg, white_opts_on_black=swap)
+        self._move_fn, self._chunked_fns = self._fn_variants.get(
+            swap, (None, None)
+        )
+
     def play_moves(self, params, batch_stats, n_moves: int,
                    request: Optional[MsgRequest] = None) -> List[Record]:
         """Advance all B games by n_moves plies; returns Records of games
         that finished (each finished board is reset in place)."""
+        self._select_white_opts_variant(request)
         chunked = (
             self.mcts_cfg.max_batches_per_call > 0
             and self.mcts_cfg.num_rollouts > 0
@@ -546,7 +575,8 @@ class SelfplayActor:
                     from elf_tpu.search.mcts import fresh_tree
 
                     capacity = self.mcts_cfg.max_nodes or (
-                        2 * self.mcts_cfg.num_rollouts + 2
+                        2 * max(self.mcts_cfg.num_rollouts,
+                                self.mcts_cfg.white_num_rollouts) + 2
                     )
                     self.tree = fresh_tree(B, self.size, max(capacity, 3),
                                            self.state.core)

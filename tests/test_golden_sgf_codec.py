@@ -40,3 +40,14 @@ def test_decode_matches_reference():
         back = sgf_codec.sgf_string_to_moves(g["sgf"], 19)
         assert back == g["moves"]
 
+
+def test_python_fallback_matches_reference():
+    """sgf_codec auto-selects the native library when available; the
+    pure-Python fallback (env/go/coords.py) must match the reference
+    bytes too — it is what hosts without a C toolchain ship."""
+    from elf_tpu.env.go import coords
+
+    for g in _load():
+        assert coords.moves_to_sgf_string(g["moves"], 19) == g["sgf"]
+        assert coords.sgf_string_to_moves(g["sgf"], 19) == g["moves"]
+

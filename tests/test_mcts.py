@@ -313,3 +313,23 @@ class TestPerPlayerOptions:
         root_visits = np.asarray(tree.n_edge)[:, 0].sum(axis=1)
         assert root_visits[0] == 32
         assert root_visits[1] == 16
+
+    def test_white_opts_on_black_flips_keying(self):
+        """player_swap moves the white-options AI onto black
+        (game_selfplay.cc:182): the budget follows the MODEL, not the
+        color."""
+        size = 5
+        B = 2
+        core = init_core(B, size)
+        core = core._replace(to_play=jnp.asarray([BLACK, WHITE], jnp.int8))
+        cfg = MCTSConfig(
+            num_rollouts=32, rollouts_per_batch=4, c_puct=1.5,
+            rotation_flip=False, remove_pass_if_dangerous=False,
+            white_num_rollouts=16, white_opts_on_black=True,
+        )
+        hist, hlen = empty_hist(B, size)
+        _, tree = run_mcts(core, hist, hlen, uniform_eval(26),
+                           jax.random.PRNGKey(0), cfg, size)
+        root_visits = np.asarray(tree.n_edge)[:, 0].sum(axis=1)
+        assert root_visits[0] == 16   # black-rooted board: white-model opts
+        assert root_visits[1] == 32
