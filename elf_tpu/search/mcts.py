@@ -36,15 +36,27 @@ Memory layout (HBM is the constraint at the production operating point of
 Net: ~1.85 KB/node vs ~8 KB for the edge layout — 1024 trees x 1600
 rollouts x 2x reuse capacity fits in ~6 GB of HBM.
 
-Semantics parity with the reference:
+Semantics parity with the reference (validated rollout-for-rollout against
+the reference's own compiled NodeT machinery — tests/test_golden_mcts.py):
  - values are stored from BLACK's perspective; selection flips Q for white
    (tree_search_base.h:132 getScore q_flip).
- - PUCT score = Q + c_puct * prior * sqrt(total_parent_visits) / (1 + n),
-   with virtual loss counted as extra visits of value -1 for the mover.
+ - PUCT score = Q + c_puct * prior * sqrt(sum_n + 1) / (1 + n); virtual
+   loss affects only the Q term ((±w - vl) / (n + vl)), never the
+   exploration term (getScore uses raw num_visits).
+ - first-play urgency: an unexplored edge's Q defaults to ±unsignedMeanQ,
+   the node's running mean unsigned Q seeded from its parent at
+   allocation and refreshed on every selection visit
+   (tree_search_node.h:227; Tree.umean_q / Tree.uparent_q).
+ - duplicate leaves within a virtual-loss batch backprop once, removing
+   all their virtual losses (batch_rollouts traj_counts, tree_search.h:255).
  - Dirichlet root noise via gamma draws, eps-mixed into the root prior
    (tree_search_node.h:132 enhanceExploration).
  - pass is masked from priors until ply >= ply_pass_enabled and when passing
-   now would lose on the TT count (mcts.h remove_pass_if_dangerous).
+   now would lose on the TT count — unless the position was itself reached
+   by a pass (mcts.h:232 remove_pass_if_dangerous).
+ - per-player options (white_puct, white_num_rollouts) apply to the whole
+   search of the white-model-rooted board; player_swap flips the keying
+   (white_opts_on_black).
  - a re-selected not-yet-evaluated leaf is re-evaluated rather than
    duplicated (the array analog of requestEvaluation/waitEvaluation dedup).
 
