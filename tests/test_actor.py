@@ -193,3 +193,41 @@ class TestGameOptions:
         assert stones[0, 0] == 1      # B aa
         assert stones[0, 6] == 2      # W bb
         assert int(actor.state.core.ply[0]) == 2
+
+
+class TestWhiteOptsVariant:
+    def test_swap_selects_flipped_variant(self):
+        """player_swap flips white_opts_on_black and swaps cached builds
+        (game_selfplay.cc:182 swap(_ai, _ai2))."""
+        from elf_tpu.selfplay.records import ClientCtrl, ModelPair, MsgRequest
+
+        size = 5
+        cfg = ActorConfig(board_size=size, batch=2, komi=7.5)
+        mcfg = MCTSConfig(num_rollouts=8, rollouts_per_batch=4,
+                          rotation_flip=False, white_puct=0.5)
+        actor = SelfplayActor(cfg, mcfg, uniform_eval_builder(26), seed=0)
+        assert not actor.mcts_cfg.white_opts_on_black
+
+        def req(swap):
+            return MsgRequest(
+                vers=ModelPair(black_ver=3, white_ver=2),  # eval pair
+                client_ctrl=ClientCtrl(player_swap=swap),
+            )
+
+        sentinel = object()
+        actor._move_fn = sentinel
+        actor._select_white_opts_variant(req(True))
+        assert actor.mcts_cfg.white_opts_on_black
+        assert actor._move_fn is None          # needs a fresh build
+        actor._move_fn = "swapped-build"
+        actor._select_white_opts_variant(req(False))
+        assert not actor.mcts_cfg.white_opts_on_black
+        assert actor._move_fn is sentinel      # cached variant restored
+        actor._select_white_opts_variant(req(True))
+        assert actor._move_fn == "swapped-build"
+        # selfplay requests (white_ver == -1) never flip
+        sp = MsgRequest(vers=ModelPair(black_ver=3, white_ver=-1),
+                        client_ctrl=ClientCtrl(player_swap=True))
+        actor._select_white_opts_variant(req(False))
+        actor._select_white_opts_variant(sp)
+        assert not actor.mcts_cfg.white_opts_on_black
