@@ -318,12 +318,50 @@ def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> T
 
 def _edge_stats(tree: Tree, node: jax.Array):
     """Per-action (n, w, vl) at `node` [B] -> three f32/i32 [B, A] arrays,
-    gathered from the child nodes (zero where no child exists)."""
+    gathered from the child nodes (zero where no child exists).
+
+    On big trees the double-indirection gather (child id -> per-node
+    stats) lowers to a scalar-core loop on TPU (~17 ms per select step at
+    B=1024, N=1602 — profiled); a one-hot MXU contraction streams the
+    same lookup through the matrix unit instead.  The contraction is
+    BIT-EXACT: each output row sums exactly one nonzero product (the 0/1
+    one-hot times an f32 stat), so no rounding ever occurs and golden
+    visit parity is preserved."""
     B = node.shape[0]
+    N = tree.n.shape[1]
+    A = tree.child.shape[2]
     rows = jnp.arange(B)
     child = tree.child[rows, node].astype(jnp.int32)      # [B, A]
     has = child >= 0
-    cs = jnp.clip(child, 0, tree.n.shape[1] - 1)
+    cs = jnp.clip(child, 0, N - 1)
+
+    if B * A * N >= (1 << 24):
+        # f32 one-hot + HIGHEST precision: the f32 operands decompose
+        # exactly into bf16 triples on the MXU, and each row has a single
+        # nonzero product, so the result is exact for counts up to 2^24
+        onehot = (
+            (cs[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :])
+            & has[:, :, None]
+        ).astype(jnp.float32)                              # [B, A, N]
+        stats = jnp.stack(
+            [
+                tree.n.astype(jnp.float32),
+                tree.w,
+                tree.vl.astype(jnp.float32),
+            ],
+            axis=-1,
+        )                                                  # [B, N, 3]
+        out = jax.lax.dot_general(
+            onehot, stats,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )                                                  # [B, A, 3]
+        n = jnp.round(out[..., 0]).astype(jnp.int32)
+        w = out[..., 1]
+        vl = jnp.round(out[..., 2]).astype(jnp.int32)
+        return n, w, vl
+
     r2 = rows[:, None]
     n = jnp.where(has, tree.n[r2, cs], 0)
     w = jnp.where(has, tree.w[r2, cs], 0.0)

@@ -333,3 +333,63 @@ class TestPerPlayerOptions:
         root_visits = np.asarray(tree.n_edge)[:, 0].sum(axis=1)
         assert root_visits[0] == 16   # black-rooted board: white-model opts
         assert root_visits[1] == 32
+
+    def test_edge_stats_onehot_matches_gather(self):
+        """The MXU one-hot contraction (big-tree path) must be bit-exact
+        vs the direct gather."""
+        import elf_tpu.search.mcts as M
+
+        rng = np.random.RandomState(7)
+        B, N, A = 16, 300, 26
+        n2 = 25
+        tree = M._make_tree(B, 5, N)
+        child = np.full((B, N, A), -1, np.int16)
+        # random sparse children with node-resident stats
+        n_arr = np.zeros((B, N), np.int32)
+        w_arr = np.zeros((B, N), np.float32)
+        vl_arr = np.zeros((B, N), np.int32)
+        for b in range(B):
+            k = 20
+            ids = rng.permutation(N - 1)[:k] + 1
+            acts = rng.permutation(A)[:k]
+            child[b, 0, acts] = ids
+            n_arr[b, ids] = rng.randint(0, 1601, len(ids))
+            w_arr[b, ids] = rng.randn(len(ids)) * 300
+            vl_arr[b, ids] = rng.randint(0, 41, len(ids))
+        tree = tree._replace(
+            child=jnp.asarray(child),
+            n=jnp.asarray(n_arr),
+            w=jnp.asarray(w_arr),
+            vl=jnp.asarray(vl_arr),
+        )
+        node = jnp.zeros((B,), jnp.int32)
+        n_g, w_g, vl_g = M._edge_stats(tree, node)  # small size -> gather
+
+        def forced(tree, node):
+            # replicate the one-hot branch with the same inputs
+            rows = jnp.arange(B)
+            ch = tree.child[rows, node].astype(jnp.int32)
+            has = ch >= 0
+            cs = jnp.clip(ch, 0, N - 1)
+            onehot = (
+                (cs[:, :, None]
+                 == jnp.arange(N, dtype=jnp.int32)[None, None, :])
+                & has[:, :, None]
+            ).astype(jnp.float32)
+            stats = jnp.stack(
+                [tree.n.astype(jnp.float32), tree.w,
+                 tree.vl.astype(jnp.float32)], axis=-1,
+            )
+            out = jax.lax.dot_general(
+                onehot, stats,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            return (jnp.round(out[..., 0]).astype(jnp.int32), out[..., 1],
+                    jnp.round(out[..., 2]).astype(jnp.int32))
+
+        n_o, w_o, vl_o = forced(tree, node)
+        np.testing.assert_array_equal(np.asarray(n_g), np.asarray(n_o))
+        np.testing.assert_array_equal(np.asarray(vl_g), np.asarray(vl_o))
+        np.testing.assert_array_equal(np.asarray(w_g), np.asarray(w_o))
