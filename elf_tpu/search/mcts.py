@@ -292,7 +292,8 @@ def _core_at(tree: Tree, rows: jax.Array, node: jax.Array, size: int) -> GoCore:
     )
 
 
-def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> Tree:
+def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array,
+                skip_stones: bool = False) -> Tree:
     B = node.shape[0]
     rows = jnp.arange(B)
     node = jnp.clip(node, 0, tree.stones.shape[1] - 1)
@@ -304,7 +305,7 @@ def _write_core(tree: Tree, node: jax.Array, core: GoCore, mask: jax.Array) -> T
         )
 
     return tree._replace(
-        stones=w(tree.stones, core.stones),
+        stones=tree.stones if skip_stones else w(tree.stones, core.stones),
         to_play=w(tree.to_play, core.to_play),
         ko_point=w(tree.ko_point, core.ko_point),
         ko_color=w(tree.ko_color, core.ko_color),
@@ -370,7 +371,7 @@ def _edge_stats(tree: Tree, node: jax.Array):
 
 
 def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig,
-                 is_root: jax.Array):
+                 is_root: jax.Array, overlay=None):
     """Selection scores at `node`, exactly as the reference computes them
     (tree_search_node.h:360 UCT + tree_search_base.h:132 getScore):
 
@@ -385,9 +386,12 @@ def _puct_scores(tree: Tree, node: jax.Array, cfg: MCTSConfig,
     tree_search_node.h:227).  `is_root` [B] (or scalar) bool enables
     root_unexplored_q_zero."""
     B = node.shape[0]
+    A = tree.prior.shape[2]
     rows = jnp.arange(B)
     prior = tree.prior[rows, node].astype(jnp.float32)   # [B, A]
     n_i, w, vl_i = _edge_stats(tree, node)
+    n_i, w, vl_i = _overlay_stat_fix(tree, overlay, node, rows, A,
+                                     n_i, w, vl_i)
     n = n_i.astype(jnp.float32)
     vl = vl_i.astype(jnp.float32)
     legal = prior >= 0.0
@@ -469,15 +473,75 @@ def _hash_in_ancestors(tree: Tree, node: jax.Array, h_lo: jax.Array,
     return found
 
 
+class _Overlay(NamedTuple):
+    """In-flight edges of the current simulation batch whose big-array
+    writes (child pointers, stones rows, pre-priors) are deferred to one
+    flush per batch: per-rollout scatters into the [B, N, A] / [B, N, n2]
+    arrays lower to full-array select passes on TPU (~4 ms each over the
+    1.19 GB child array), so batching them is an ~8x traffic saving.
+    Selection consults the overlay so in-batch visibility is EXACTLY the
+    immediate-write semantics (golden m=8 parity holds)."""
+
+    node: jax.Array    # i32 [m, B] parent node of the new edge (-1 empty)
+    a: jax.Array       # i32 [m, B] action of the new edge
+    child: jax.Array   # i32 [m, B] allocated child id
+
+
+def _overlay_child_lookup(overlay, cur, a, child):
+    """Child pointer for (cur, a) including not-yet-flushed edges."""
+    if overlay is None:
+        return child
+    hit = (
+        (overlay.node == cur[None, :])
+        & (overlay.a == a[None, :])
+        & (overlay.node >= 0)
+    )                                                     # [m, B]
+    ov = jnp.sum(jnp.where(hit, overlay.child, 0), axis=0)
+    return jnp.where(jnp.any(hit, axis=0), ov, child)
+
+
+def _overlay_stat_fix(tree, overlay, cur, rows, A, n, w, vl):
+    """Add the stats of overlay edges at `cur` into the per-action stat
+    rows (their child ids are not in tree.child yet, but their node-
+    resident n/w/vl ARE current — allocation virtual loss included)."""
+    if overlay is None:
+        return n, w, vl
+    N = tree.n.shape[1]
+    for j in range(overlay.node.shape[0]):
+        hit = (overlay.node[j] == cur) & (overlay.node[j] >= 0)   # [B]
+        aj = jnp.clip(overlay.a[j], 0, A - 1)
+        cj = jnp.clip(overlay.child[j], 0, N - 1)
+        n = n.at[rows, aj].add(jnp.where(hit, tree.n[rows, cj], 0))
+        w = w.at[rows, aj].add(jnp.where(hit, tree.w[rows, cj], 0.0))
+        vl = vl.at[rows, aj].add(jnp.where(hit, tree.vl[rows, cj], 0))
+    return n, w, vl
+
+
+class _FlushRec(NamedTuple):
+    """One rollout's deferred big-array writes."""
+
+    valid: jax.Array       # bool [B] expansion happened
+    new_id: jax.Array      # i32 [B]
+    stones_row: jax.Array  # i8 [B, n2]
+    prior_row: jax.Array   # bf16 [B, A]
+    edge_node: jax.Array   # i32 [B]
+    edge_a: jax.Array      # i32 [B]
+
+
 def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
                        game_hh_lo=None, game_hh_hi=None, game_nhash=None,
-                       active=None):
-    """One rollout's select+expand for all B trees.  Returns (tree, leaf_id).
+                       active=None, overlay=None):
+    """One rollout's select+expand for all B trees.  Returns
+    (tree, leaf_id, flush_rec).
 
     leaf_id: newly allocated node (pending eval), an existing pending node,
     an existing terminal node, or the root for terminal/degenerate roots.
     `active` [B] (optional): boards with False neither select nor expand
-    (their leaf is the root, which backprop ignores)."""
+    (their leaf is the root, which backprop ignores).
+    `overlay` (optional): in-batch edges whose big-array writes are still
+    pending — when given, this rollout's own big-array writes are ALSO
+    deferred and returned in flush_rec (else they are applied directly
+    and flush_rec is None)."""
     B = tree.stones.shape[0]
     rows = jnp.arange(B)
     A = size * size + 1
@@ -488,7 +552,8 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
 
     def body(carry):
         tree, cur, leaf, done, depth = carry
-        scores, new_umean = _puct_scores(tree, cur, cfg, depth == 0)
+        scores, new_umean = _puct_scores(tree, cur, cfg, depth == 0,
+                                         overlay=overlay)
         a = jnp.argmax(scores, axis=1).astype(jnp.int32)
         # findMove updates the node's running mean unsigned Q on every
         # selection visit (tree_search_node.h:227)
@@ -498,6 +563,7 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
             )
         )
         child = tree.child[rows, cur, a].astype(jnp.int32)
+        child = _overlay_child_lookup(overlay, cur, a, child)
         has_child = child >= 0
         safe_child = jnp.clip(child, 0, tree.stones.shape[1] - 1)
         # virtual loss on the traversed edge = on the child node (the
@@ -547,7 +613,15 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
     new_id = jnp.where(need_expand, tree.count, 0)
     new_id = jnp.clip(new_id, 0, tree.stones.shape[1] - 1)
 
-    tree = _write_core(tree, new_id, child_core, need_expand)
+    if overlay is None:
+        tree = _write_core(tree, new_id, child_core, need_expand)
+    else:
+        # defer the big stones row; write the small per-node core fields
+        # directly (parents of in-batch expansions always predate the
+        # batch — pending nodes are never descended into — so nothing in
+        # this batch reads a deferred stones row before the flush)
+        tree = _write_core(tree, new_id, child_core, need_expand,
+                           skip_stones=True)
 
     # in-tree positional superko (go_state.cc:96 semantics carried into the
     # search): a stone move recreating a path-ancestor or game-history
@@ -577,11 +651,19 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
         value=tree.value.at[rows, new_id].set(
             jnp.where(rep, superko_value, tree.value[rows, new_id])
         ),
-        prior=tree.prior.at[rows, new_id].set(
-            jnp.where(need_expand[:, None], pre_prior,
-                      tree.prior[rows, new_id])
-        ),
     )
+    if overlay is None:
+        tree = tree._replace(
+            prior=tree.prior.at[rows, new_id].set(
+                jnp.where(need_expand[:, None], pre_prior,
+                          tree.prior[rows, new_id])
+            ),
+            child=tree.child.at[rows, exp_node, exp_a].set(
+                jnp.where(need_expand, new_id,
+                          tree.child[rows, exp_node, exp_a].astype(jnp.int32)
+                          ).astype(jnp.int16)
+            ),
+        )
     tree = tree._replace(
         parent=tree.parent.at[rows, new_id].set(
             jnp.where(need_expand, exp_node,
@@ -595,11 +677,6 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
         ),
         terminal=tree.terminal.at[rows, new_id].set(
             jnp.where(need_expand, term, tree.terminal[rows, new_id])
-        ),
-        child=tree.child.at[rows, exp_node, exp_a].set(
-            jnp.where(need_expand, new_id,
-                      tree.child[rows, exp_node, exp_a].astype(jnp.int32)
-                      ).astype(jnp.int16)
         ),
         # fresh stats + the expansion edge's virtual loss
         n=tree.n.at[rows, new_id].set(
@@ -627,7 +704,17 @@ def _select_and_expand(tree: Tree, cfg: MCTSConfig, size: int,
     leaf = jnp.where(need_expand, new_id, leaf)
     # full tree: fall back to re-evaluating the node whose edge we hit
     leaf = jnp.where(frontier, exp_node, leaf)
-    return tree, leaf
+    if overlay is None:
+        return tree, leaf, None
+    flush = _FlushRec(
+        valid=need_expand,
+        new_id=new_id,
+        stones_row=child_core.stones.astype(jnp.int8),
+        prior_row=pre_prior,
+        edge_node=exp_node,
+        edge_a=exp_a,
+    )
+    return tree, leaf, flush
 
 
 def _leaf_snapshots(tree: Tree, rows: jax.Array, leaf: jax.Array,
@@ -1003,20 +1090,58 @@ def mcts_simulate(
     else:
         budget = None
 
+    N = tree.stones.shape[1]
+
     def sim_batch(carry, batch_idx):
         tree, rng = carry
         active = None if budget is None else (batch_idx < budget)
 
-        def one_select(tree, _):
+        def one_select(carry, j):
+            tree, ov = carry
             if game_hash_hist is not None:
                 gl, gh, gn = game_hash_hist
             else:
                 gl = gh = gn = None
-            tree, leaf = _select_and_expand(tree, cfg, size, gl, gh, gn,
-                                            active=active)
-            return tree, leaf
+            tree, leaf, flush = _select_and_expand(
+                tree, cfg, size, gl, gh, gn, active=active, overlay=ov,
+            )
+            # record this rollout's new edge in overlay slot j
+            slot = (jnp.arange(m) == j)[:, None]               # [m, 1]
+            ov = _Overlay(
+                node=jnp.where(
+                    slot, jnp.where(flush.valid, flush.edge_node, -1)[None],
+                    ov.node,
+                ),
+                a=jnp.where(slot, flush.edge_a[None], ov.a),
+                child=jnp.where(slot, flush.new_id[None], ov.child),
+            )
+            return (tree, ov), (leaf, flush)
 
-        tree, leaves = lax.scan(one_select, tree, None, length=m)  # [m, B]
+        ov0 = _Overlay(
+            node=jnp.full((m, B), -1, jnp.int32),
+            a=jnp.zeros((m, B), jnp.int32),
+            child=jnp.zeros((m, B), jnp.int32),
+        )
+        (tree, _), (leaves, flushes) = lax.scan(
+            one_select, (tree, ov0), jnp.arange(m)
+        )                                                      # leaves [m, B]
+
+        # ---- ONE deferred flush of the batch's big-array writes ----
+        # (invalid lanes are redirected out of bounds and dropped)
+        rows_f = jnp.broadcast_to(rows[None, :], (m, B))
+        ids = jnp.where(flushes.valid, flushes.new_id, N)
+        en = jnp.where(flushes.valid, flushes.edge_node, N)
+        tree = tree._replace(
+            stones=tree.stones.at[rows_f, ids].set(
+                flushes.stones_row, mode="drop"
+            ),
+            prior=tree.prior.at[rows_f, ids].set(
+                flushes.prior_row, mode="drop"
+            ),
+            child=tree.child.at[rows_f, en, flushes.edge_a].set(
+                flushes.new_id.astype(jnp.int16), mode="drop"
+            ),
+        )
 
         # ---- one fused NN evaluation over all m*B leaves ----
         rng, k = jax.random.split(rng)
@@ -1073,10 +1198,7 @@ def mcts_simulate(
         # not the TT sign
         flat_sk = tree.superko[flat_rows, safe]
         values = jnp.where(flat_sk, tree.value[flat_rows, safe], values)
-        priors = priors.reshape(m, B, A)
-        values = values.reshape(m, B)
 
-        # ---- sequential write + backprop per rollout ----
         # a leaf selected k > 1 times in this batch backprops ONCE (its
         # first occurrence) but removes all k virtual losses — duplicate
         # rollouts are wasted, exactly as the reference's traj_counts
@@ -1090,6 +1212,21 @@ def mcts_simulate(
             is_dup = jnp.zeros((1, B), jnp.bool_)
             dup_count = jnp.ones((1, B), jnp.int32)
 
+        # ---- ONE batched eval-prior flush (first occurrence of each
+        # fresh non-terminal leaf writes its prior; same outcome as the
+        # per-rollout writes, which only ever wrote on first touch) ----
+        already0 = tree.expanded[flat_rows, safe]
+        write_flat = ~is_dup.reshape(mB) & ~already0 & ~flat_term
+        prior_ids = jnp.where(write_flat, safe, N)
+        tree = tree._replace(
+            prior=tree.prior.at[flat_rows, prior_ids].set(
+                priors.astype(jnp.bfloat16), mode="drop"
+            )
+        )
+        priors = priors.reshape(m, B, A)
+        values = values.reshape(m, B)
+
+        # ---- sequential small-array write + backprop per rollout ----
         def write_and_backprop(i, tree):
             leaf = leaves[i]
             safe = jnp.clip(leaf, 0, tree.stones.shape[1] - 1)
@@ -1097,10 +1234,6 @@ def mcts_simulate(
             already = tree.expanded[rows, safe]
             write = ~already & ~is_term
             tree = tree._replace(
-                prior=tree.prior.at[rows, safe].set(
-                    jnp.where(write[:, None], priors[i].astype(jnp.bfloat16),
-                              tree.prior[rows, safe])
-                ),
                 value=tree.value.at[rows, safe].set(
                     jnp.where(write | is_term, values[i], tree.value[rows, safe])
                 ),
