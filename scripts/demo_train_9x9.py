@@ -72,7 +72,12 @@ def main(argv=None):
                                         q_max_size=2000), seed=0)
     pipeline = TrainingPipeline(replay, size, seed=0)
     runner = LearnerRunner(trainer, pipeline, args.out, to, seed=0)
-    state0 = runner.state  # random init snapshot for the final eval
+    # random-init snapshot for the final eval: DEEP COPY — the train step
+    # donates its state, which would delete these buffers otherwise
+    import jax as _jax
+    import jax.numpy as _jnp
+
+    state0 = _jax.tree.map(_jnp.copy, runner.state)
 
     def builder(params, batch_stats):
         return lambda feats, to_play: eval_raw(params, batch_stats, feats)
@@ -80,9 +85,14 @@ def main(argv=None):
     acfg = ActorConfig(board_size=size, batch=args.batch_boards, komi=7.5,
                        policy_distri_cutoff=10, resign_thres=0.0,
                        never_resign_prob=1.0)
+    # ply_pass_enabled matters even at demo scale: with pass legal from
+    # ply 0, the winning side's search (FPU gives unexplored pass the
+    # parent-mean Q) pours visits into pass and the policy target teaches
+    # the net to pass everywhere (the reference's production configs set
+    # ply_pass_enabled=160 for exactly this reason, start_client.sh:24)
     mcfg = MCTSConfig(num_rollouts=args.rollouts, rollouts_per_batch=8,
                       c_puct=1.5, root_epsilon=0.25, root_alpha=0.2,
-                      komi=7.5)
+                      komi=7.5, ply_pass_enabled=40)
     actor = SelfplayActor(acfg, mcfg, builder, seed=1)
 
     wr = WinRate()
@@ -124,7 +134,8 @@ def main(argv=None):
                         komi=7.5, policy_distri_cutoff=0, resign_thres=0.0,
                         never_resign_prob=1.0),
             MCTSConfig(num_rollouts=num_rollouts, rollouts_per_batch=8,
-                       c_puct=1.5, root_epsilon=0.0, komi=7.5),
+                       c_puct=1.5, root_epsilon=0.0, komi=7.5,
+                       ply_pass_enabled=40),
             make_pair_eval_builder(eval_raw), seed=seed,
         )
         trained = (runner.state.params, runner.state.batch_stats)
