@@ -68,6 +68,20 @@ class SelfplayClient:
 
     # -- control round trips ------------------------------------------------
 
+    def wait_server_ready(self, timeout: float = 3600.0,
+                          poll: float = 2.0) -> bool:
+        """Block until the server reports ready=True on the `status`
+        title (initial model version set).  Gating startup on this —
+        instead of a raw TCP connect — means clients never burn their
+        run budget polling a server that is still compiling/loading."""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            reply = self.transport.send("status", "")
+            if isinstance(reply, dict) and reply.get("ready"):
+                return True
+            time.sleep(poll)
+        return False
+
     def _ship(self, records) -> Optional[MsgRequest]:
         states = {
             b: ThreadState(
@@ -184,15 +198,30 @@ class SelfplayClient:
         max_rounds: Optional[int] = None,
         stop_fn: Optional[Callable[[], bool]] = None,
         profiler=None,
+        max_games: Optional[int] = None,
     ) -> None:
+        """Main loop.  `max_games`: WORK-based stop — exit once this many
+        games have been completed (selfplay + eval) and every finished
+        record has been shipped; unlike `max_rounds` it is immune to how
+        long the server takes to hand out the first job."""
         if profiler is None:
             from elf_tpu.profiling import Profiler
 
             profiler = Profiler()  # stage timers only
         rounds = 0
         pending = []
+
+        def games_done() -> int:
+            n = self.actor.completed_games
+            if self.eval_actor is not None:
+                n += self.eval_actor.completed_games
+            return n
+
         while max_rounds is None or rounds < max_rounds:
             if stop_fn and stop_fn():
+                return
+            if max_games is not None and not pending and \
+                    games_done() >= max_games:
                 return
             rounds += 1
             if self.request.vers.wait():

@@ -130,7 +130,12 @@ class TrainServer:
                 self.eval.feed(identity, r)
                 self.num_eval_games += 1
 
-    def on_reply(self, identity: str) -> dict:
+    def on_reply(self, identity: str, title: str = "content") -> dict:
+        if title == "status":
+            # readiness/health probe: does NOT register the caller as a
+            # client or consume a request seq (clients and tests gate
+            # their startup on ready=True instead of a raw port connect)
+            return self.status()
         c = self.clients.on_message(identity)
         req = MsgRequest()
         if c.type == ClientType.EVAL_THEN_SELFPLAY and self.eval.fill_in_request(
@@ -144,6 +149,17 @@ class TrainServer:
         seq = c.seq
         c.seq += 1
         return MsgRequestSeq(seq=seq, request=req).to_json()
+
+    def status(self) -> dict:
+        """Machine-readable server state (the `status` control title)."""
+        return {
+            "status": True,
+            "ready": self._initial_ver_seen,
+            "selfplay_ver": self.selfplay.version(),
+            "num_selfplay_games": self.num_selfplay_games,
+            "num_eval_games": self.num_eval_games,
+            "replay_size": self.replay.size(),
+        }
 
     # -- model plane --------------------------------------------------------
 

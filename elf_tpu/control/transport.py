@@ -70,7 +70,7 @@ class ControlServer:
     """Threaded request/reply server (shared::Reader equivalent).
 
     process_fn(identity, title, body) -> None (ingest)
-    reply_fn(identity) -> reply body (str or dict)
+    reply_fn(identity, title) -> reply body (str or dict)
     """
 
     def __init__(
@@ -95,7 +95,9 @@ class ControlServer:
                             outer.process_fn(
                                 identity, msg.get("title", ""), msg.get("body", "")
                             )
-                            reply = outer.reply_fn(identity)
+                            reply = outer.reply_fn(
+                                identity, msg.get("title", "")
+                            )
                             _send_msg(self.request, {"ok": True, "reply": reply})
                         except Exception as e:  # noqa: BLE001
                             outer.logger.exception("handler error")

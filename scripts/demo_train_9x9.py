@@ -128,6 +128,8 @@ def main(argv=None):
     # policy-only play (num_rollouts=0, the actPolicyOnly path) isolates net
     # quality; MCTS play measures strength at the demo's rollout count (where
     # terminal TT shortcuts can mask small-net differences).
+    from elf_tpu.tools.match import head_to_head as _h2h
+
     def head_to_head(num_rollouts: int, seed: int):
         eval_actor = SelfplayActor(
             ActorConfig(board_size=size, batch=max(args.eval_games // 2, 1),
@@ -140,21 +142,8 @@ def main(argv=None):
         )
         trained = (runner.state.params, runner.state.batch_stats)
         random0 = (state0.params, state0.batch_stats)
-        wins = 0
-        total = 0
-        for swap in (False, True):
-            black, white = (random0, trained) if swap else (trained, random0)
-            target = eval_actor.completed_games + max(args.eval_games // 2, 1)
-            while eval_actor.completed_games < target:
-                for r in eval_actor.play_moves(
-                    (black[0], white[0]), (black[1], white[1]), 16
-                ):
-                    total += 1
-                    won = (
-                        (r.result.reward < 0) if swap else (r.result.reward > 0)
-                    )
-                    wins += int(won)
-        return wins, total
+        return _h2h(eval_actor, trained, random0,
+                    max(args.eval_games // 2, 1))
 
     summary = {
         "final": True,

@@ -27,6 +27,7 @@ from elf_tpu.models.resnet import ModelConfig
 from elf_tpu.search.mcts import MCTSConfig
 from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor, make_pair_eval_builder
 from elf_tpu.stats import WinRate
+from elf_tpu.tools.match import head_to_head
 from elf_tpu.training.trainer import Trainer, load_checkpoint
 
 
@@ -74,27 +75,25 @@ def main(argv=None):
     )
     actor = SelfplayActor(acfg, mcfg, make_pair_eval_builder(eval_raw), seed=g.seed)
 
-    wins_a = 0
-    total = 0
+    # the actor is reset at the half boundary (head_to_head) so the swap
+    # half never inherits — and mis-scores — games started under the
+    # noswap color assignment
     wr = WinRate()
-    for swap in (False, True):
-        # A plays black in the noswap half
-        black, white = (sb, sa) if swap else (sa, sb)
-        params = (black.params, white.params)
-        bstats = (black.batch_stats, white.batch_stats)
-        half_games = args.num_eval_games // 2
-        while actor.completed_games < (half_games if not swap else 2 * half_games):
-            recs = actor.play_moves(params, bstats, 16)
-            for r in recs:
-                total += 1
-                a_won = (r.result.reward < 0) if swap else (r.result.reward > 0)
-                wins_a += int(a_won)
-                wr.feed(r.result.reward)
-                print(
-                    f"game {total}: {'A' if a_won else 'B'} wins "
-                    f"({r.result.num_move} moves, swap={swap})",
-                    file=sys.stderr,
-                )
+    sink: list = []
+    wins_a, total = head_to_head(
+        actor,
+        (sa.params, sa.batch_stats),
+        (sb.params, sb.batch_stats),
+        args.num_eval_games // 2,
+        record_sink=sink,
+    )
+    for i, (r, a_won) in enumerate(sink):
+        wr.feed(r.result.reward)
+        print(
+            f"game {i + 1}: {'A' if a_won else 'B'} wins "
+            f"({r.result.num_move} moves)",
+            file=sys.stderr,
+        )
 
     winrate = wins_a / max(total, 1)
     print(

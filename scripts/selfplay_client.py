@@ -43,6 +43,12 @@ def main(argv=None):
     parser.add_argument("--moves_per_round", type=int, default=16)
     parser.add_argument("--max_rounds", type=int, default=0,
                         help="stop after this many rounds (0 = forever)")
+    parser.add_argument("--max_games", type=int, default=0,
+                        help="stop after completing this many games "
+                             "(work-based; 0 = forever)")
+    parser.add_argument("--wait_server_ready", type=int, default=1,
+                        help="block until the server reports ready "
+                             "before starting the play loop")
     parser.add_argument("--loglevel", type=str, default="info")
     args = parser.parse_args(argv)
     om = OptionMap(spec, vars(args))
@@ -133,8 +139,14 @@ def main(argv=None):
         "client %s -> %s:%d (B=%d, %d rollouts)",
         client.identity, co.server_addr, co.port, g.num_games, mo.num_rollouts,
     )
+    if args.wait_server_ready:
+        if not client.wait_server_ready():
+            logger.error("server never became ready; exiting")
+            sys.exit(2)
+        logger.info("server ready")
     client.run(moves_per_round=args.moves_per_round,
-               max_rounds=args.max_rounds if args.max_rounds > 0 else None)
+               max_rounds=args.max_rounds if args.max_rounds > 0 else None,
+               max_games=args.max_games if args.max_games > 0 else None)
 
 
 if __name__ == "__main__":

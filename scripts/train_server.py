@@ -113,14 +113,15 @@ def main(argv=None):
         server.resume_from_journal()
     server.start()
     initial_ver = int(runner.state.step)
+    # write the initial checkpoint BEFORE declaring ready: clients gate on
+    # the status endpoint's ready=True and immediately load this version
+    runner.episode_summary()
     if co.eval_old_model >= 0:
         # eval-only bring-up: candidate = loaded model, baseline =
         # --eval_old_model (train.py:60 setEvalMode)
         server.set_eval_mode(initial_ver, co.eval_old_model)
     else:
         server.set_initial_version(initial_ver)
-    # write the initial checkpoint so clients can load version 0
-    runner.episode_summary()
     logger.info("server up on :%d, initial version %d", server.port, initial_ver)
 
     def on_promote(ver: int) -> None:

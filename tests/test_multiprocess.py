@@ -50,10 +50,27 @@ def test_server_and_two_client_processes(tmp_path):
     os.makedirs(ckpt, exist_ok=True)
     port = free_port()
 
+    # all subprocess output goes to FILES: pollable while running,
+    # dumpable on failure (a timed-out PIPE loses everything)
+    logs = {"server": str(tmp_path / "server.log"),
+            "client0": str(tmp_path / "client0.log"),
+            "client1": str(tmp_path / "client1.log")}
+
+    def dump_logs() -> str:
+        parts = []
+        for name, path in logs.items():
+            try:
+                with open(path) as f:
+                    parts.append(f"----- {name} -----\n{f.read()[-4000:]}")
+            except OSError:
+                parts.append(f"----- {name}: <no log> -----")
+        return "\n".join(parts)
+
     common = [
         "--board_size", "5", "--num_block", "1", "--dim", "8",
         "--port", str(port), "--komi", "5.5",
     ]
+    server_log = open(logs["server"], "w")
     server = subprocess.Popen(
         [PY, os.path.join(REPO, "scripts/train_server.py"),
          "--ckpt_dir", ckpt, "--batchsize", "4", "--num_minibatch", "2",
@@ -63,45 +80,57 @@ def test_server_and_two_client_processes(tmp_path):
          "--q_min_size", "1", "--q_max_size", "16", "--num_reader", "2",
          "--num_cooldown", "1",
          *common],
-        cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+        cwd=REPO, env=_env(), stdout=server_log,
         stderr=subprocess.STDOUT, text=True,
     )
     clients = []
+    client_logs = []
     try:
-        # wait until the server listens (it prints "server up on :<port>")
-        deadline = time.time() + 180
+        # gate client launch on the server being actually READY ("server
+        # up" = initial checkpoint written + initial version set), not on
+        # the raw port listening — under remote-compile contention the gap
+        # between the two has been measured in minutes
+        deadline = time.time() + 600
         while time.time() < deadline:
             if server.poll() is not None:
-                out = server.stdout.read()
-                pytest.fail(f"server died early:\n{out[-4000:]}")
-            r = socket.socket()
+                pytest.fail(f"server died early:\n{dump_logs()}")
             try:
-                r.connect(("127.0.0.1", port))
-                r.close()
-                break
+                with open(logs["server"]) as f:
+                    if "server up on :" in f.read():
+                        break
             except OSError:
-                time.sleep(1.0)
+                pass
+            time.sleep(1.0)
         else:
-            pytest.fail("server never listened")
+            pytest.fail(f"server never became ready:\n{dump_logs()}")
 
         for k in range(2):
+            cl = open(logs[f"client{k}"], "w")
+            client_logs.append(cl)
             clients.append(subprocess.Popen(
                 [PY, os.path.join(REPO, "scripts/selfplay_client.py"),
                  "--ckpt_dir", ckpt, "--num_games", "2",
                  "--num_rollouts", "4", "--rollouts_per_batch", "2",
                  "--move_cutoff", "6", "--moves_per_round", "6",
-                 "--max_rounds", "400", "--seed", str(100 + k),
+                 "--seed", str(100 + k),
                  "--cheat_selfplay_random_result", "1",
                  "--cheat_eval_new_model_wins_half", "1",
                  *common],
-                cwd=REPO, env=_env(), stdout=subprocess.PIPE,
+                cwd=REPO, env=_env(), stdout=cl,
                 stderr=subprocess.STDOUT, text=True,
             ))
 
-        # generous: compiles go through a shared (sometimes busy) compile
-        # service, and CI boxes run suites concurrently
-        out, _ = server.communicate(timeout=900)
-        assert server.returncode == 0, f"server rc={server.returncode}:\n{out[-4000:]}"
+        # clients have no round/game limit: they work until the server has
+        # finished its episodes and exits (they are killed in the finally)
+        try:
+            server.wait(timeout=600)
+        except subprocess.TimeoutExpired:
+            pytest.fail(f"server timed out:\n{dump_logs()}")
+        with open(logs["server"]) as f:
+            out = f.read()
+        assert server.returncode == 0, (
+            f"server rc={server.returncode}:\n{dump_logs()}"
+        )
         # both episodes ran and produced checkpoints beyond the initial one
         saves = [f for f in os.listdir(ckpt)
                  if re.match(r"save-\d+\.bin$", f)]
@@ -111,13 +140,12 @@ def test_server_and_two_client_processes(tmp_path):
         # records were journaled from real client processes
         jdir = os.path.join(ckpt, "journal")
         journal_lines = 0
-        idents = set()
         for f in os.listdir(jdir):
             with open(os.path.join(jdir, f)) as fh:
                 for line in fh:
                     if line.strip():
                         journal_lines += 1
-        assert journal_lines >= 2, "no records journaled"
+        assert journal_lines >= 2, f"no records journaled\n{dump_logs()}"
     finally:
         for c in clients:
             if c.poll() is None:
@@ -126,6 +154,9 @@ def test_server_and_two_client_processes(tmp_path):
         if server.poll() is None:
             server.kill()
             server.wait()
+        server_log.close()
+        for cl in client_logs:
+            cl.close()
 
 
 def test_two_process_jax_distributed_learner(tmp_path):
