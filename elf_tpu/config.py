@@ -251,6 +251,10 @@ class ControlOptions:
         False, "async self-play: games continue across model versions"
     )
     eval_num_games: int = opt(400, "games per candidate evaluation")
+    eval_num_threads: int = opt(
+        -1, "boards an eval client may use (shipped as ClientCtrl."
+        "num_game_thread_used, ctrl_eval.h:140; -1 = all)"
+    )
     eval_winrate_thres: float = opt(0.55, "promotion threshold")
     eval_old_model: int = opt(-1, "baseline version override")
     keep_prev_selfplay: bool = opt(True, "keep replay buffer across promotions")

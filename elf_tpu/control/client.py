@@ -150,12 +150,19 @@ class SelfplayClient:
                     )
                     time.sleep(2.0)
         self.request = req
-        # propagate dynamic resign parameters to the actor (runtime args,
-        # not baked into the jitted move_fn)
-        self.actor.resign_thres = req.client_ctrl.resign_thres
-        self.actor.never_resign_prob = req.client_ctrl.never_resign_prob
+        # propagate ClientCtrl to the actor that will PLAY this job —
+        # eval jobs run on the eval actor, so the server's thread
+        # allocation (num_game_thread_used, ctrl_eval.h:140) and resign
+        # settings must land there, not on the idle selfplay actor
+        target = (
+            self.actor
+            if req.vers.is_selfplay() or self.eval_actor is None
+            else self.eval_actor
+        )
+        target.resign_thres = req.client_ctrl.resign_thres
+        target.never_resign_prob = req.client_ctrl.never_resign_prob
         n_used = req.client_ctrl.num_game_thread_used
-        self.actor.set_active_boards(n_used if n_used >= 0 else None)
+        target.set_active_boards(n_used if n_used >= 0 else None)
 
     # -- eval games ---------------------------------------------------------
 

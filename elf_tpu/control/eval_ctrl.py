@@ -214,6 +214,13 @@ class EvalSubCtrl:
                 ):
                     if self.mcts_opt is not None:
                         req.vers.mcts_opt = self.mcts_opt
+                    # server-driven eval thread allocation: cap how many
+                    # boards the client may dedicate to this eval job
+                    # (ctrl_eval.h:140 num_game_thread_used =
+                    # options_.eval_num_threads)
+                    n = getattr(self.opts, "eval_num_threads", -1)
+                    if n >= 0:
+                        req.client_ctrl.num_game_thread_used = n
                     return True
             return False
 

@@ -252,13 +252,25 @@ def _distance_transform_l1(seed_zero: jax.Array) -> jax.Array:
     return d
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
-def extract_df(state: GoState, codes: jax.Array, size: int) -> jax.Array:
-    """f32 [B, N, N, 25] NHWC df feature planes (board_feature.cc `extract`)."""
-    B = state.core.stones.shape[0]
+@functools.partial(jax.jit, static_argnums=(7,))
+def extract_df_parts(
+    stones: jax.Array,       # i8 [B, n2]
+    to_play: jax.Array,      # i8 [B]
+    ko_point: jax.Array,     # i32 [B] flat idx (gated by ko_active)
+    ko_active: jax.Array,    # bool [B]
+    ply: jax.Array,          # i32 [B] (0-based move count)
+    last_placed: jax.Array,  # i32 [B, n2] 1-based placement ply per stone
+    codes: jax.Array,        # i32 [B] D4 codes
+    size: int,
+) -> jax.Array:
+    """df 25-plane extraction from explicit parts (board_feature.cc
+    `extract`) — shared by the full-state path (`extract_df`), the MCTS
+    in-tree leaf evaluation (parts gathered from Tree node fields), and
+    the training pipeline (parts reconstructed from record replay)."""
+    B = stones.shape[0]
     n2 = size * size
-    s2d = state.core.stones.reshape(B, size, size)
-    player = state.core.to_play
+    s2d = stones.reshape(B, size, size)
+    player = to_play
     mine2d = s2d == player[:, None, None]
     theirs2d = (s2d != EMPTY) & ~mine2d
     empty2d = s2d == EMPTY
@@ -268,15 +280,14 @@ def extract_df(state: GoState, codes: jax.Array, size: int) -> jax.Array:
     lib2 = (m2 != _INF) & (m2 == lx)            # exactly 2
     lib3 = (m2 != _INF) & (m2 < lx)             # >= 3
 
-    ko_active = (state.core.ko_age == 0) & (state.core.ko_point >= 0)
     ko_plane = (
-        (jnp.arange(n2, dtype=jnp.int32)[None, :] == state.core.ko_point[:, None])
+        (jnp.arange(n2, dtype=jnp.int32)[None, :] == ko_point[:, None])
         & ko_active[:, None]
     ).astype(jnp.float32)
 
-    ply_ref = (state.core.ply + 1).astype(jnp.float32)  # reference 1-based _ply
+    ply_ref = (ply + 1).astype(jnp.float32)  # reference 1-based _ply
     hist_exp = jnp.exp(
-        (state.last_placed.astype(jnp.float32) - ply_ref[:, None]) / 10.0
+        (last_placed.astype(jnp.float32) - ply_ref[:, None]) / 10.0
     ).reshape(B, size, size)
 
     far = jnp.full((B, size, size), 10_000.0, jnp.float32)
@@ -306,3 +317,14 @@ def extract_df(state: GoState, codes: jax.Array, size: int) -> jax.Array:
     pad = jnp.zeros((B, NUM_DF_PLANES - 18, n2), jnp.float32)  # 18-24 unused
     out = jnp.concatenate([stacked, black_ind, white_ind, pad], axis=1)
     return out.reshape(B, NUM_DF_PLANES, size, size).transpose(0, 2, 3, 1)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def extract_df(state: GoState, codes: jax.Array, size: int) -> jax.Array:
+    """f32 [B, N, N, 25] NHWC df feature planes (board_feature.cc `extract`)."""
+    core = state.core
+    return extract_df_parts(
+        core.stones, core.to_play, core.ko_point,
+        (core.ko_age == 0) & (core.ko_point >= 0),
+        core.ply, state.last_placed, codes, size,
+    )

@@ -147,6 +147,12 @@ class MCTSConfig:
     # chunks of this many sim-batches instead (tree donated between
     # calls, so no copies).  0 = whole search in one call.
     max_batches_per_call: int = 0
+    # leaf feature set: "agz" (18 planes from 8 history snapshots) or
+    # "df" (25 planes: liberties/ko/placement-history,
+    # board_feature.h:18-37).  df leaves reconstruct per-point placement
+    # plies by walking the parent chain from the game state's
+    # last_placed (the reference clones a full GoState per node instead)
+    feature_set: str = "agz"
 
     @property
     def num_nodes(self) -> int:
@@ -757,23 +763,65 @@ def _leaf_snapshots(tree: Tree, rows: jax.Array, leaf: jax.Array,
     return snaps, valid
 
 
+def _leaf_last_placed(tree: Tree, rows: jax.Array, leaf: jax.Array,
+                      root_lp: jax.Array, size: int) -> jax.Array:
+    """i32 [K, n2]: per-point 1-based placement ply at `leaf` (the df
+    feature set's history input, board.cc _infos[].last_placed).
+
+    The edge into a node X placed a stone at parent_a[X]; its 1-based
+    placement ply equals tree.ply[X] (step() stamps pre-move ply + 1).
+    Walking leaf -> root visits the latest placements first, so
+    keep-first-write gives the overwrite semantics of forward play; below
+    the root the game state's `root_lp` [B, n2] fills the rest."""
+    K = leaf.shape[0]
+    n2 = size * size
+    pts = jnp.arange(n2, dtype=jnp.int32)[None, :]
+
+    def cond(carry):
+        _, _, _, active = carry
+        return jnp.any(active)
+
+    def body(carry):
+        lp, filled, cur, active = carry
+        safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
+        a = tree.parent_a[rows, safe].astype(jnp.int32)
+        parent = tree.parent[rows, safe].astype(jnp.int32)
+        is_stone = active & (parent >= 0) & (a >= 0) & (a < n2)
+        onehot = (pts == a[:, None]) & is_stone[:, None] & ~filled
+        ply_1b = tree.ply[rows, safe].astype(jnp.int32)
+        lp = jnp.where(onehot, ply_1b[:, None], lp)
+        filled = filled | onehot
+        active = active & (parent >= 0)
+        cur = jnp.where(active, parent, cur)
+        return lp, filled, cur, active
+
+    lp0 = jnp.zeros((K, n2), jnp.int32)
+    filled0 = jnp.zeros((K, n2), jnp.bool_)
+    lp, filled, _, _ = lax.while_loop(
+        cond, body, (lp0, filled0, leaf, jnp.ones((K,), jnp.bool_))
+    )
+    return jnp.where(filled, lp, root_lp[rows])
+
+
 def _evaluate_states(
     core: GoCore,
     is_term: jax.Array,
-    snaps: jax.Array,
-    valid: jax.Array,
+    snaps: Optional[jax.Array],
+    valid: Optional[jax.Array],
     legal: jax.Array,
     eval_fn: EvalFn,
     rng: jax.Array,
     cfg: MCTSConfig,
     size: int,
     last_is_pass: Optional[jax.Array] = None,
+    leaf_lp: Optional[jax.Array] = None,
 ):
     """Evaluate K gathered states: (prior [K, A], value [K] black persp.).
     `legal` [K, A] comes from the tree (stored at expansion).
     `last_is_pass` [K]: whether the position was reached by a pass — the
     dangerous-pass heuristic only triggers when it was NOT
-    (mcts.h:232 remove_pass_if_dangerous checks lastMove() != M_PASS)."""
+    (mcts.h:232 remove_pass_if_dangerous checks lastMove() != M_PASS).
+    feature_set "agz" reads `snaps`/`valid`; "df" reads `leaf_lp`."""
     K = core.stones.shape[0]
     n2 = size * size
     if last_is_pass is None:
@@ -784,7 +832,18 @@ def _evaluate_states(
         if cfg.rotation_flip
         else jnp.zeros((K,), jnp.int32)
     )
-    feats = extract_agz_from_snapshots(snaps, valid, core.to_play, codes, size)
+    if cfg.feature_set == "df":
+        from elf_tpu.env.go.features import extract_df_parts
+
+        ko_active = (core.ko_age == 0) & (core.ko_point >= 0)
+        feats = extract_df_parts(
+            core.stones, core.to_play, core.ko_point, ko_active,
+            core.ply, leaf_lp, codes, size,
+        )
+    else:
+        feats = extract_agz_from_snapshots(
+            snaps, valid, core.to_play, codes, size
+        )
     log_pi, value = eval_fn(feats, core.to_play)
     pi = jnp.exp(log_pi)
     pi = inv_transform_policy(pi, codes, size)
@@ -996,6 +1055,7 @@ def mcts_root_prepare(
     cfg: MCTSConfig,
     size: int,
     init_tree: Optional[Tree] = None,
+    root_last_placed: Optional[jax.Array] = None,
 ) -> Tree:
     """Phase 1 of a search: build/adopt the tree and evaluate + noise the
     root.  (run_mcts = prepare -> simulate -> finalize; the phases are
@@ -1024,12 +1084,20 @@ def mcts_root_prepare(
     k_eval, k_noise = jax.random.split(rng, 2)
     root_ids = jnp.zeros((B,), jnp.int32)
     root_legal = engine.legal_moves(root_core, size)
-    snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
-                                   root_hist_len, size)
+    if cfg.feature_set == "df":
+        snaps = valid = None
+        root_lp = root_last_placed
+        if root_lp is None:
+            root_lp = jnp.zeros((B, size * size), jnp.int32)
+    else:
+        snaps, valid = _leaf_snapshots(tree, rows, root_ids, root_hist,
+                                       root_hist_len, size)
+        root_lp = None
     prior_eval, value_eval = _evaluate_states(
         _core_at(tree, rows, root_ids, size), root_terminal,
         snaps, valid, root_legal, eval_fn, k_eval, cfg, size,
         last_is_pass=root_core.last_move >= size * size,
+        leaf_lp=root_lp,
     )
     # reused roots re-mix noise into the stored RAW prior (the reference
     # rebuilds the root prior from the NN each search; blending into an
@@ -1068,6 +1136,7 @@ def mcts_simulate(
     n_batches: int,
     game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
     batch_offset=0,
+    root_last_placed: Optional[jax.Array] = None,
 ) -> Tree:
     """Phase 2: run `n_batches` simulation batches (each =
     rollouts_per_batch select/expand passes + one fused leaf evaluation +
@@ -1150,8 +1219,16 @@ def mcts_simulate(
         safe = jnp.clip(flat_leaves, 0, tree.stones.shape[1] - 1)
         flat_core = _core_at(tree, flat_rows, safe, size)
         flat_term = tree.terminal[flat_rows, safe]
-        snaps, valid = _leaf_snapshots(tree, flat_rows, safe, root_hist,
-                                       root_hist_len, size)
+        if cfg.feature_set == "df":
+            snaps = valid = None
+            rlp = (root_last_placed
+                   if root_last_placed is not None
+                   else jnp.zeros((B, size * size), jnp.int32))
+            leaf_lp = _leaf_last_placed(tree, flat_rows, safe, rlp, size)
+        else:
+            snaps, valid = _leaf_snapshots(tree, flat_rows, safe, root_hist,
+                                           root_hist_len, size)
+            leaf_lp = None
         # legality is encoded in the stored prior's sign
         flat_legal = tree.prior[flat_rows, safe] >= 0
         # the leaf's incoming edge: pass-reached positions relax the
@@ -1167,21 +1244,31 @@ def mcts_simulate(
                 return x.reshape((nch, cfg.eval_chunk) + x.shape[1:])
 
             keys = jax.random.split(k, nch)
+            is_df = cfg.feature_set == "df"
 
             def one_chunk(args):
-                core_c, term_c, snaps_c, valid_c, legal_c, lip_c, key_c = args
+                core_c, term_c, hist_c, legal_c, lip_c, key_c = args
+                if is_df:
+                    return _evaluate_states(
+                        core_c, term_c, None, None, legal_c, eval_fn,
+                        key_c, cfg, size, last_is_pass=lip_c,
+                        leaf_lp=hist_c,
+                    )
+                snaps_c, valid_c = hist_c
                 return _evaluate_states(
                     core_c, term_c, snaps_c, valid_c, legal_c, eval_fn,
                     key_c, cfg, size, last_is_pass=lip_c,
                 )
 
+            hist_in = chunked(leaf_lp) if is_df else (
+                chunked(snaps), chunked(valid)
+            )
             priors, values = lax.map(
                 one_chunk,
                 (
                     jax.tree.map(chunked, flat_core),
                     chunked(flat_term),
-                    chunked(snaps),
-                    chunked(valid),
+                    hist_in,
                     chunked(flat_legal),
                     chunked(flat_lip),
                     keys,
@@ -1192,7 +1279,7 @@ def mcts_simulate(
         else:
             priors, values = _evaluate_states(
                 flat_core, flat_term, snaps, valid, flat_legal, eval_fn, k,
-                cfg, size, last_is_pass=flat_lip,
+                cfg, size, last_is_pass=flat_lip, leaf_lp=leaf_lp,
             )
         # superko-terminal leaves use the stored next-player-wins value,
         # not the TT sign
@@ -1297,6 +1384,7 @@ def run_mcts(
     size: int,
     init_tree: Optional[Tree] = None,
     game_hash_hist: Optional[Tuple[jax.Array, jax.Array, jax.Array]] = None,
+    root_last_placed: Optional[jax.Array] = None,
 ) -> Tuple[MCTSResult, Tree]:
     """Run cfg.num_rollouts simulations for B boards in lockstep
     (prepare -> simulate -> finalize in one traceable call).
@@ -1316,12 +1404,13 @@ def run_mcts(
     k_prep, k_sim, k_pick = jax.random.split(rng, 3)
     tree = mcts_root_prepare(
         root_core, root_hist, root_hist_len, eval_fn, k_prep, cfg, size,
-        init_tree=init_tree,
+        init_tree=init_tree, root_last_placed=root_last_placed,
     )
     m = max(1, cfg.rollouts_per_batch)
     n_batches = max(1, max(cfg.num_rollouts, cfg.white_num_rollouts) // m)
     tree = mcts_simulate(
         tree, root_hist, root_hist_len, eval_fn, k_sim, cfg, size,
         n_batches, game_hash_hist=game_hash_hist,
+        root_last_placed=root_last_placed,
     )
     return mcts_finalize(tree, k_pick, cfg), tree

@@ -71,6 +71,12 @@ class ActorConfig:
     # plies train on the one-hot of the played move (game_feature.h:107
     # extractMCTSPi fallback).
     policy_distri_training_for_all: bool = False
+    # answer an opponent pass with a pass when clearly winning — TT score
+    # in our favor AND |search value| > 0.9 (mcts_update_info
+    # following_pass, game_selfplay.cc:106; there it is additionally
+    # gated on a human opponent being present, so the reference default
+    # behavior — flag off — is identical)
+    following_pass: bool = False
 
 
 def make_pair_eval_builder(eval_raw):
@@ -96,6 +102,28 @@ def make_pair_eval_builder(eval_raw):
         return eval_fn
 
     return builder
+
+
+def _maybe_follow_pass(cfg: "ActorConfig", state: GoState, action, v, size: int):
+    """following_pass (game_selfplay.cc:106 mcts_update_info): if the
+    opponent just passed and we are clearly good — TT score favors the
+    mover AND the mover-perspective search value > 0.9 — answer with a
+    pass (ends the game instead of grinding out a clearly-won board)."""
+    if not cfg.following_pass:
+        return action
+    n2 = size * size
+    pre_score = (
+        engine.score_tromp_taylor(state.core, size).astype(jnp.float32)
+        - cfg.komi
+    )
+    is_black = state.core.to_play == BLACK
+    we_good = jnp.where(
+        is_black, (pre_score > 0) & (v > 0.9), (pre_score < 0) & (v < -0.9)
+    )
+    last_pass = state.core.last_move == n2
+    return jnp.where(
+        we_good & last_pass & ~state.terminated, jnp.int32(n2), action
+    )
 
 
 class MoveOutput(NamedTuple):
@@ -246,7 +274,10 @@ class SelfplayActor:
                 if mcfg.rotation_flip
                 else jnp.zeros((B,), jnp.int32)
             )
-            feats = gofeat.extract_agz(state, codes, size)
+            if mcfg.feature_set == "df":
+                feats = gofeat.extract_df(state, codes, size)
+            else:
+                feats = gofeat.extract_agz(state, codes, size)
             log_pi, value = eval_fn(feats, state.core.to_play)
             pi = gofeat.inv_transform_policy(jnp.exp(log_pi), codes, size)
             lm = gostate.legal_moves(state, size)
@@ -272,6 +303,8 @@ class SelfplayActor:
                     init_tree=tree_in if cfg.persistent_tree else None,
                     game_hash_hist=(state.hash_hist_lo, state.hash_hist_hi,
                                     state.nhash),
+                    root_last_placed=(state.last_placed
+                                      if mcfg.feature_set == "df" else None),
                 )
             # diverse move below the cutoff ply (game_selfplay.cc:80)
             diverse = state.core.ply <= cfg.policy_distri_cutoff
@@ -279,6 +312,7 @@ class SelfplayActor:
                 jnp.maximum(res.mcts_policy, 1e-10)), -1e9)
             sampled = jax.random.categorical(k_sample, logits, axis=1)
             action = jnp.where(diverse, sampled, res.best_action).astype(jnp.int32)
+            action = _maybe_follow_pass(cfg, state, action, res.root_q, size)
 
             # resign check (ResignCheck.check: mover value < -1 + thres)
             v = res.root_q
@@ -374,6 +408,8 @@ class SelfplayActor:
                 state.core, state.stone_hist, state.hist_len, eval_fn, key,
                 mcfg, size,
                 init_tree=tree_in if cfg.persistent_tree else None,
+                root_last_placed=(state.last_placed
+                                  if mcfg.feature_set == "df" else None),
             )
 
         def make_sim(n_batches):
@@ -388,6 +424,8 @@ class SelfplayActor:
                     # cumulative sim-batch offset: per-player rollout
                     # budgets (white_num_rollouts) count across chunks
                     batch_offset=offset,
+                    root_last_placed=(state.last_placed
+                                      if mcfg.feature_set == "df" else None),
                 )
 
             return simulate
@@ -401,6 +439,7 @@ class SelfplayActor:
             sampled = jax.random.categorical(k_sample, logits, axis=1)
             action = jnp.where(diverse, sampled,
                                res.best_action).astype(jnp.int32)
+            action = _maybe_follow_pass(cfg, state, action, res.root_q, size)
             v = res.root_q
             mover_v = jnp.where(state.core.to_play == BLACK, v, -v)
             resign = (

@@ -53,6 +53,28 @@ class TSOptions:
     def total_rollouts(self) -> int:
         return self.num_threads * self.num_rollouts_per_thread
 
+    @classmethod
+    def from_search_options(cls, mo) -> "TSOptions":
+        """Build the wire TSOptions from a config `MCTSOptions` dataclass —
+        how the production server turns its --num_rollouts/--c_puct/...
+        flags into the per-request options it drives the fleet with
+        (model_pair.h:10; the reference builds TSOptions from the same
+        flag set in context_utils.py:89)."""
+        return cls(
+            num_threads=1,
+            num_rollouts_per_thread=int(mo.num_rollouts),
+            num_rollouts_per_batch=int(mo.rollouts_per_batch),
+            persistent_tree=bool(mo.persistent_tree),
+            root_epsilon=float(mo.root_epsilon),
+            root_alpha=float(mo.root_alpha),
+            virtual_loss=int(mo.virtual_loss),
+            pick_method=str(mo.pick_method),
+            c_puct=float(mo.c_puct),
+            use_prior=bool(mo.use_prior),
+            unexplored_q_zero=bool(mo.unexplored_q_zero),
+            root_unexplored_q_zero=bool(mo.root_unexplored_q_zero),
+        )
+
     def noise_free(self) -> "TSOptions":
         """The eval variant (ctrl_eval.h:234-236)."""
         return dataclasses.replace(self, root_epsilon=0.0, root_alpha=0.0)

@@ -38,7 +38,8 @@ from elf_tpu.training.replay import ReplayBuffer
 class ReplayItem:
     """A record + its precomputed per-ply board snapshots."""
 
-    __slots__ = ("record", "snapshots", "moves", "first_player")
+    __slots__ = ("record", "snapshots", "moves", "first_player",
+                 "setup_board")
 
     def __init__(self, record: Record, size: int):
         self.record = record
@@ -50,6 +51,60 @@ class ReplayItem:
             self.moves, size, self.first_player,
             record.result.setup_black, record.result.setup_white,
         )  # [L, n2] i8
+        self.setup_board = np.zeros((size * size,), np.int8)
+        self.setup_board[record.result.setup_black] = 1
+        self.setup_board[record.result.setup_white] = 2
+
+    def board_at(self, ply: int) -> np.ndarray:
+        """Board AFTER `ply` moves (the setup board at ply 0)."""
+        return self.snapshots[ply - 1] if ply > 0 else self.setup_board
+
+    def last_placed_at(self, ply: int, n2: int) -> np.ndarray:
+        """Per-point 1-based placement ply at position `ply`
+        (board.cc _infos[].last_placed; handicap stones stamp 1,
+        board.cc:1379).  Later placements overwrite earlier ones; points
+        later emptied by capture are masked by the board itself."""
+        lp = np.zeros((n2,), np.int32)
+        lp[self.setup_board != 0] = 1
+        for k in range(min(ply, len(self.moves))):
+            m = self.moves[k]
+            if m < n2:
+                lp[m] = k + 1
+        return lp
+
+    def ko_at(self, ply: int, size: int) -> int:
+        """Simple-ko point active at position `ply`, or -1 (board.cc:1384
+        semantics: the previous move captured exactly one stone with a
+        lone stone that has exactly one liberty)."""
+        if ply < 1:
+            return -1
+        n2 = size * size
+        m = self.moves[ply - 1]
+        if m >= n2:
+            return -1
+        prev = self.board_at(ply - 1)
+        cur = self.board_at(ply)
+        color = cur[m]
+        if color == 0:
+            return -1
+        captured = np.nonzero((prev == 3 - color) & (cur == 0))[0]
+        if captured.size != 1:
+            return -1
+        r, c = m // size, m % size
+        nbrs = []
+        if r > 0:
+            nbrs.append(m - size)
+        if r < size - 1:
+            nbrs.append(m + size)
+        if c > 0:
+            nbrs.append(m - 1)
+        if c < size - 1:
+            nbrs.append(m + 1)
+        if any(cur[q] == color for q in nbrs):
+            return -1  # not a lone stone
+        if sum(1 for q in nbrs if cur[q] == 0) != 1:
+            return -1  # not exactly one liberty
+        return int(captured[0])
 
     def to_play_at(self, ply: int) -> int:
         """Mover color at `ply` (colors strictly alternate from
@@ -73,22 +128,32 @@ class HostBatch(NamedTuple):
     offline_a: np.ndarray  # i32 [B, T] future actions at ply..ply+T-1
     #                        (game_feature.h `offline_a`, T =
     #                        num_future_actions; pass-padded past game end)
+    # df-25 feature inputs (populated only when feature_set == "df"):
+    stones: Optional[np.ndarray] = None       # i8 [B, n2] current board
+    ko_point: Optional[np.ndarray] = None     # i32 [B] (-1 = none)
+    ply: Optional[np.ndarray] = None          # i32 [B]
+    last_placed: Optional[np.ndarray] = None  # i32 [B, n2]
 
 
 class TrainingPipeline:
     def __init__(self, replay: ReplayBuffer, size: int, seed: int = 0,
-                 data_aug: int = -1, num_future_actions: int = 1):
+                 data_aug: int = -1, num_future_actions: int = 1,
+                 feature_set: str = "agz"):
         """data_aug: fixed D4 code for training augmentation, or -1 for a
         random code per sample (go_game_specific.h:46).
         num_future_actions: horizons in the `offline_a` target
         (go_game_specific.h num_future_actions; the multi-horizon
-        supervised target of MultiplePrediction, multiple_prediction.py:30)."""
+        supervised target of MultiplePrediction, multiple_prediction.py:30).
+        feature_set: "agz" (18-plane snapshots) or "df" (25-plane
+        liberties/ko/placement history, board_feature.h:18-37 — the
+        --use_df_feature path)."""
         self.replay = replay
         self.size = size
         self.n2 = size * size
         self.A = self.n2 + 1
         self.data_aug = data_aug
         self.num_future_actions = max(1, num_future_actions)
+        self.feature_set = feature_set
         self.rng = np.random.RandomState(seed)
 
     def insert_record(self, record: Record) -> None:
@@ -111,6 +176,14 @@ class TrainingPipeline:
         selfplay_ver = np.zeros((batch_size,), np.int64)
         T = self.num_future_actions
         offline_a = np.full((batch_size, T), n2, np.int32)  # pass-padded
+        is_df = self.feature_set == "df"
+        if is_df:
+            stones = np.zeros((batch_size, n2), np.int8)
+            ko_point = np.full((batch_size,), -1, np.int32)
+            plies = np.zeros((batch_size,), np.int32)
+            last_placed = np.zeros((batch_size, n2), np.int32)
+        else:
+            stones = ko_point = plies = last_placed = None
         for i, item in enumerate(items):
             selfplay_ver[i] = item.record.request.vers.black_ver
             L = len(item.moves)
@@ -119,6 +192,9 @@ class TrainingPipeline:
                 to_play[i] = item.first_player
                 pi[i, n2] = 1.0
                 winner[i] = 1.0 if item.black_win else -1.0
+                if is_df:
+                    stones[i] = item.setup_board
+                    last_placed[i] = item.last_placed_at(0, n2)
                 continue
             # position after `ply` moves; predict the move made at `ply`
             # (game_train.cc switchRandomMove)
@@ -129,6 +205,11 @@ class TrainingPipeline:
                 snaps[i, H - 1 - j] = item.snapshots[ply - 1 - j]
                 valid[i, H - 1 - j] = True
             to_play[i] = item.to_play_at(ply)
+            if is_df:
+                stones[i] = item.board_at(ply)
+                ko_point[i] = item.ko_at(ply, self.size)
+                plies[i] = ply
+                last_placed[i] = item.last_placed_at(ply, n2)
             pols = item.record.result.policies
             if ply < len(pols) and (pols[ply].get("idx") or []):
                 pi[i] = dequantize_policy(pols[ply], A)
@@ -138,10 +219,21 @@ class TrainingPipeline:
             for k in range(min(T, L - ply)):
                 offline_a[i, k] = item.moves[ply + k]
         return HostBatch(snaps, valid, to_play, codes, pi, winner,
-                         selfplay_ver, offline_a)
+                         selfplay_ver, offline_a,
+                         stones=stones, ko_point=ko_point, ply=plies,
+                         last_placed=last_placed)
 
     def device_batch(self, hb: HostBatch):
-        """Returns (features [B,N,N,18], pi_target [B,A], winner [B])."""
+        """Returns (features [B,N,N,18|25], pi_target [B,A], winner [B]);
+        the plane count follows the pipeline's feature_set."""
+        if self.feature_set == "df":
+            return _device_batch_df(
+                jnp.asarray(hb.stones), jnp.asarray(hb.to_play),
+                jnp.asarray(hb.ko_point), jnp.asarray(hb.ply),
+                jnp.asarray(hb.last_placed), jnp.asarray(hb.codes),
+                jnp.asarray(hb.pi_target), jnp.asarray(hb.winner),
+                self.size,
+            )
         return _device_batch(
             jnp.asarray(hb.snaps), jnp.asarray(hb.valid),
             jnp.asarray(hb.to_play), jnp.asarray(hb.codes),
@@ -161,6 +253,19 @@ class TrainingPipeline:
 @functools.partial(jax.jit, static_argnums=(6,))
 def _device_batch(snaps, valid, to_play, codes, pi_target, winner, size):
     feats = extract_agz_from_snapshots(snaps, valid, to_play, codes, size)
+    pi_t = transform_policy(pi_target, codes, size)
+    return feats, pi_t, winner
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _device_batch_df(stones, to_play, ko_point, ply, last_placed, codes,
+                     pi_target, winner, size):
+    from elf_tpu.env.go.features import extract_df_parts
+
+    feats = extract_df_parts(
+        stones, to_play, ko_point, ko_point >= 0, ply, last_placed,
+        codes, size,
+    )
     pi_t = transform_policy(pi_target, codes, size)
     return feats, pi_t, winner
 

@@ -72,6 +72,7 @@ def main(argv=None):
 
     # analysis settings (README.rst:164): play puct, no noise, resign off
     mcfg = MCTSConfig(
+        feature_set="df" if g.use_df_feature else "agz",
         num_rollouts=mo.num_rollouts,
         rollouts_per_batch=mo.rollouts_per_batch,
         c_puct=mo.c_puct,

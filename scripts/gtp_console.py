@@ -60,6 +60,7 @@ def main(argv=None):
 
     # play settings (README.rst:147): no root noise, play-strength puct
     mcfg = MCTSConfig(
+        feature_set="df" if g.use_df_feature else "agz",
         num_rollouts=mo.num_rollouts,
         rollouts_per_batch=mo.rollouts_per_batch,
         c_puct=mo.c_puct,

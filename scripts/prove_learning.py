@@ -207,6 +207,7 @@ def main(argv=None):
 
     wr = WinRate()
     t0 = time.time() - progress["wall"]
+    last_beat = time.time()
     owed = 0.0
     next_eval = (
         (progress["games"] // args.eval_every_games + 1)
@@ -239,6 +240,20 @@ def main(argv=None):
 
         wall = time.time() - t0
         progress["wall"] = wall
+        if time.time() - last_beat > 30:
+            last_beat = time.time()
+            print(json.dumps({
+                "beat": True, "wall_s": round(wall, 1),
+                "games": progress["games"],
+                "positions": progress["positions"],
+                "train_steps": progress["train_steps"],
+                "games_per_hour": round(progress["games"] / max(wall, 1)
+                                        * 3600, 1),
+                **{k: round(v, 4) for k, v in last_stats.items()
+                   if k.startswith("loss/total")},
+            }), flush=True)
+            with open(state_path, "w") as f:
+                json.dump(progress, f)
         if progress["games"] >= next_eval:
             runner.episode_summary()
             wins, total = run_eval(args.eval_games)

@@ -94,8 +94,10 @@ def main(argv=None):
         preload_sgf=g.preload_sgf,
         preload_sgf_move_to=g.preload_sgf_move_to,
         policy_distri_training_for_all=g.policy_distri_training_for_all,
+        following_pass=g.following_pass,
     )
     mcfg = MCTSConfig(
+        feature_set="df" if g.use_df_feature else "agz",
         num_rollouts=mo.num_rollouts,
         rollouts_per_batch=mo.rollouts_per_batch,
         c_puct=mo.c_puct,

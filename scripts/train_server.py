@@ -95,7 +95,11 @@ def main(argv=None):
     from elf_tpu.training.replay import ReplayBuffer
 
     replay = ReplayBuffer(ro, seed=g.seed)
-    pipeline = TrainingPipeline(replay, g.board_size, seed=g.seed)
+    pipeline = TrainingPipeline(
+        replay, g.board_size, seed=g.seed,
+        data_aug=g.data_aug,
+        feature_set="df" if g.use_df_feature else "agz",
+    )
     runner = LearnerRunner(trainer, pipeline, args.ckpt_dir, to, mesh=mesh,
                            seed=g.seed)
 
@@ -103,9 +107,17 @@ def main(argv=None):
         runner.state = load_checkpoint(args.load, template=runner.state)
         logger.info("resumed from %s at step %d", args.load, int(runner.state.step))
 
+    # the server DRIVES the fleet's search settings: every request ships
+    # TSOptions built from this script's --num_rollouts/--c_puct/
+    # --root_epsilon/... flags (model_pair.h:10); eval requests get the
+    # noise-free variant server-side (ctrl_eval.h:233) so clients need no
+    # local noise configuration at all
+    from elf_tpu.selfplay.records import TSOptions
+
     server = TrainServer(
         co, ro, port=co.port, record_sink=pipeline.insert_record,
         journal_dir=os.path.join(args.ckpt_dir, "journal"),
+        mcts_opt=TSOptions.from_search_options(mo),
     )
     server.replay = replay  # share the buffer
     if args.load:

@@ -231,3 +231,88 @@ class TestWhiteOptsVariant:
         actor._select_white_opts_variant(req(False))
         actor._select_white_opts_variant(sp)
         assert not actor.mcts_cfg.white_opts_on_black
+
+
+def concentrated_eval_builder(num_actions, fav_action, value):
+    """Eval whose policy mass sits on one action and whose value is fixed
+    (black perspective) — makes MCTS behavior deterministic in tests."""
+    def builder(params, batch_stats):
+        def eval_fn(feats, to_play):
+            K = feats.shape[0]
+            logits = np.full((num_actions,), -20.0, np.float32)
+            logits[fav_action] = 0.0
+            log_pi = jnp.asarray(logits) - jnp.log(
+                jnp.sum(jnp.exp(jnp.asarray(logits)))
+            )
+            return (
+                jnp.broadcast_to(log_pi, (K, num_actions)),
+                jnp.full((K,), value),
+            )
+
+        return eval_fn
+
+    return builder
+
+
+class TestFollowingPass:
+    """following_pass (game_selfplay.cc:106 mcts_update_info): answer an
+    opponent pass with a pass when clearly winning — TT score in the
+    mover's favor AND mover-perspective search value > 0.9."""
+
+    def _actor(self, following_pass, value=1.0):
+        size = 5
+        cfg = ActorConfig(
+            board_size=size, batch=1, komi=5.5, policy_distri_cutoff=-1,
+            resign_thres=0.0, never_resign_prob=1.0,
+            following_pass=following_pass,
+        )
+        mcfg = MCTSConfig(num_rollouts=8, rollouts_per_batch=4,
+                          rotation_flip=False, root_epsilon=0.0)
+        # policy concentrated on the corner (action 0); value = `value`
+        # for black everywhere
+        return SelfplayActor(
+            cfg, mcfg, concentrated_eval_builder(26, 0, value), seed=0
+        )
+
+    def _setup_black_winning_after_white_pass(self, actor):
+        """Black owns the board center; white just passed; black to move."""
+        import numpy as np
+        from elf_tpu.env.go.state import step
+
+        st = actor.state
+        st, _ = step(st, np.array([12], np.int32), 5)   # black center
+        st, _ = step(st, np.array([25], np.int32), 5)   # white PASS
+        actor.state = st
+        actor.moves[0] = [12, 25]
+
+    def test_clearly_winning_board_follows_pass(self):
+        actor = self._actor(following_pass=True, value=1.0)
+        self._setup_black_winning_after_white_pass(actor)
+        recs = actor.play_moves(None, None, 1)
+        # black answered the pass with a pass: two passes end the game,
+        # black wins on the TT count
+        assert len(recs) == 1
+        assert recs[0].result.reward > 0
+        assert recs[0].result.content.endswith("B[])") or \
+            actor_last_move_is_pass(recs[0], 5)
+
+    def test_without_flag_plays_on(self):
+        actor = self._actor(following_pass=False, value=1.0)
+        self._setup_black_winning_after_white_pass(actor)
+        recs = actor.play_moves(None, None, 1)
+        # the concentrated policy sends black to the corner instead
+        assert not recs or recs[0].result.num_move > 3
+
+    def test_not_winning_does_not_follow(self):
+        # value 0: not clearly good -> no follow even though white passed
+        actor = self._actor(following_pass=True, value=0.0)
+        self._setup_black_winning_after_white_pass(actor)
+        recs = actor.play_moves(None, None, 1)
+        assert not recs or recs[0].result.num_move > 3
+
+
+def actor_last_move_is_pass(record, size):
+    from elf_tpu.env.go.coords import sgf_string_to_moves
+
+    moves = sgf_string_to_moves(record.result.content, size)
+    return moves and moves[-1] == size * size

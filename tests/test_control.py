@@ -150,6 +150,70 @@ class TestWireProtocol:
         promoted = ev.check_promotions(lambda _ident: False)
         assert promoted == 1
 
+    def test_ts_options_from_search_options(self):
+        """The production server builds its wire TSOptions from the same
+        --num_rollouts/--c_puct/... flags it parses (train_server.py)."""
+        from elf_tpu.config import MCTSOptions
+        from elf_tpu.selfplay.records import TSOptions
+
+        mo = MCTSOptions(num_rollouts=1600, rollouts_per_batch=8,
+                         c_puct=0.85, virtual_loss=5, root_epsilon=0.25,
+                         root_alpha=0.03, persistent_tree=True)
+        ts = TSOptions.from_search_options(mo)
+        assert ts.total_rollouts == 1600
+        assert ts.num_rollouts_per_batch == 8
+        assert ts.c_puct == 0.85
+        assert ts.virtual_loss == 5
+        assert ts.root_epsilon == 0.25
+        assert ts.persistent_tree
+        # survives the wire
+        assert TSOptions.from_json(ts.to_json()) == ts
+
+    def test_client_eval_obeys_server_options_and_thread_cap(self):
+        """A client launched with deliberately WRONG local eval noise plays
+        eval games noise-free — and on the server-capped number of boards —
+        because the server's request says so (ctrl_eval.h:233 noise strip,
+        ctrl_eval.h:140 num_game_thread_used), not because of any local
+        configuration."""
+        from elf_tpu.selfplay.records import MsgRequestSeq, TSOptions
+
+        # expected=2: the first client gets eval duty (alloc_type ratio)
+        opts = ControlOptions(expected_num_clients=2, eval_num_games=4,
+                              eval_num_threads=2)
+        ropts = ReplayOptions(num_reader=2, q_min_size=1, q_max_size=50)
+        ts = TSOptions(num_threads=1, num_rollouts_per_thread=16,
+                       num_rollouts_per_batch=4,
+                       root_epsilon=0.25, root_alpha=0.03)
+        server = TrainServer(opts, ropts, port=0, mcts_opt=ts)
+        try:
+            server.set_initial_version(0)
+            server.eval.add_new_model_for_evaluation(1)
+
+            acfg = ActorConfig(board_size=5, batch=4)
+            # deliberately wrong local settings: noisy eval MCTS
+            wrong = MCTSConfig(num_rollouts=8, rollouts_per_batch=2,
+                               root_epsilon=0.77, root_alpha=0.5)
+            actor = SelfplayActor(acfg, wrong, lambda p, b: None)
+            eval_actor = SelfplayActor(acfg, wrong, lambda p, b: None)
+            client = SelfplayClient(
+                opts, actor, load_params_fn=lambda ver: (None, None),
+                port=server.port, eval_actor=eval_actor,
+            )
+            req = MsgRequestSeq.from_json(
+                server.on_reply(client.identity)
+            ).request
+            assert not req.vers.is_selfplay()
+            client._maybe_reload(req)
+            # server's noise-free options landed on the EVAL actor
+            assert eval_actor.mcts_cfg.root_epsilon == 0.0
+            assert eval_actor.mcts_cfg.num_rollouts == 16
+            # ...as did the board cap; the selfplay actor is untouched
+            assert eval_actor.active_boards == 2
+            assert actor.active_boards is None
+            assert actor.mcts_cfg.root_epsilon == 0.77
+        finally:
+            server.stop()
+
     def test_actor_applies_ts_options(self):
         from elf_tpu.selfplay.records import TSOptions
         from elf_tpu.search.mcts import MCTSConfig
