@@ -142,6 +142,45 @@ class AnalysisDriver:
         else:
             self.tree = None
 
+    def _ladder_annotation(self, played: int, mover: int) -> Optional[dict]:
+        """Model-free ladder read of the move about to be played (the
+        native checkLadder counterpart, native/ladder.c): flags moves
+        that start a working ladder or flee into one."""
+        if played >= self.size * self.size:
+            return None
+        try:
+            from elf_tpu.native.ladder import (
+                classify_ladder_move,
+                ladder_capture_depth,
+                ladder_escape_depth,
+            )
+        except RuntimeError:
+            return None
+        stones = np.asarray(self.state.core.stones)[0]
+        ko_active = (
+            int(np.asarray(self.state.core.ko_age)[0]) == 0
+            and int(np.asarray(self.state.core.ko_point)[0]) >= 0
+        )
+        ko_point = (
+            int(np.asarray(self.state.core.ko_point)[0]) if ko_active else -1
+        )
+        ko_color = int(np.asarray(self.state.core.ko_color)[0])
+        try:
+            cls = classify_ladder_move(
+                stones, played, mover, self.size, ko_point, ko_color
+            )
+        except RuntimeError:
+            return None
+        if cls == "none":
+            return None
+        depth = max(
+            ladder_capture_depth(stones, played, mover, self.size,
+                                 ko_point, ko_color),
+            ladder_escape_depth(stones, played, mover, self.size,
+                                ko_point, ko_color),
+        )
+        return {"type": cls, "depth": depth}
+
     def _dump_tree(self, ply: int, tree) -> Optional[str]:
         if not self.cfg.dump_record_prefix:
             return None
@@ -185,6 +224,9 @@ class AnalysisDriver:
             }
             if tree_path:
                 rep["tree_file"] = tree_path
+            ladder = self._ladder_annotation(played, mover)
+            if ladder:
+                rep["ladder"] = ladder
             reports.append(rep)
             line = (
                 f"{rep['ply']:3d} {rep['to_play']} suggest {rep['suggested']}"

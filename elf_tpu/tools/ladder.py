@@ -119,3 +119,56 @@ def run_ladder_suite(
     return LadderResult(
         total=matched + len(failures), matched=matched, failures=failures
     )
+
+
+@dataclass
+class SuiteClassification:
+    """Model-free structural read of one suite probe."""
+
+    sgf: str
+    move_number: int
+    played: int
+    classification: str   # capture | doomed_escape | none
+    depth: int
+
+
+def classify_suite(
+    suite_dir: str = DEFAULT_SUITE, limit: Optional[int] = None
+) -> List[SuiteClassification]:
+    """Run the native ladder solver (native/ladder.c — the reference's
+    checkLadder counterpart, golden-verified in tests/test_golden_ladder)
+    over every ladder_list probe: classify the move actually played as a
+    ladder-capture starter, a doomed escape, or neither.  Model-free —
+    this reads the position itself, unlike `run_ladder_suite`, which
+    scores a MODEL's move choice."""
+    from elf_tpu.native.ladder import (
+        classify_ladder_move,
+        ladder_capture_depth,
+        ladder_escape_depth,
+    )
+    from elf_tpu.native.replayer import replay_to_snapshots
+
+    entries = load_suite(suite_dir)
+    if limit:
+        entries = entries[:limit]
+    out = []
+    for sgf_path, n in entries:
+        moves, size = load_moves(sgf_path)
+        if n - 1 >= len(moves):
+            continue
+        snaps = replay_to_snapshots(moves[: n - 1], size)
+        board = (
+            snaps[-1] if n > 1 else np.zeros(size * size, np.int8)
+        )
+        mv = moves[n - 1]
+        player = 1 if (n - 1) % 2 == 0 else 2
+        cls = classify_ladder_move(board, mv, player, size)
+        depth = max(
+            ladder_capture_depth(board, mv, player, size),
+            ladder_escape_depth(board, mv, player, size),
+        )
+        out.append(SuiteClassification(
+            sgf=os.path.basename(sgf_path), move_number=n, played=mv,
+            classification=cls, depth=depth,
+        ))
+    return out

@@ -16,6 +16,8 @@ g++ $FLAGS -DBOARD9x9 -o build/gen_mcts_golden_9 gen_mcts_golden.cc $SRC
 g++ $FLAGS -o build/gen_mcts_golden_19 gen_mcts_golden.cc $SRC
 g++ $FLAGS -o build/gen_sgf_golden_19 gen_sgf_golden.cc $REF/elfgames/go/sgf/sgf.cc \
     $REF/elfgames/go/base/common.cc $REF/elfgames/go/base/board.cc
+g++ $FLAGS -o build/gen_ladder_golden_19 gen_ladder_golden.cc $SRC
+g++ $FLAGS -DBOARD9x9 -o build/gen_ladder_golden_9 gen_ladder_golden.cc $SRC
 
 OUT=../../tests/golden
 mkdir -p "$OUT"
@@ -24,4 +26,8 @@ mkdir -p "$OUT"
 ./build/gen_mcts_golden_9 | gzip -9 > "$OUT/ref_mcts_9.jsonl.gz"
 ./build/gen_mcts_golden_19 | gzip -9 > "$OUT/ref_mcts_19.jsonl.gz"
 ./build/gen_sgf_golden_19 | gzip -9 > "$OUT/ref_sgf_codec_19.jsonl.gz"
+./build/gen_ladder_golden_9 rand 20 160 2 | gzip -9 > "$OUT/ref_ladder_rand_9.jsonl.gz"
+./build/gen_ladder_golden_19 rand 8 260 3 | gzip -9 > "$OUT/ref_ladder_rand_19.jsonl.gz"
+python dump_suite_probes.py | ./build/gen_ladder_golden_19 \
+    | gzip -9 > "$OUT/ref_ladder_suite_19.jsonl.gz"
 ls -la "$OUT"
