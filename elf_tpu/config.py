@@ -155,6 +155,10 @@ class GameOptions:
 
     board_size: int = opt(19, "board size (9 or 19)")
     komi: float = opt(7.5, "komi (go_game_specific.h:85)")
+    model: str = opt(
+        "df_kl", "model family (models/registry.py: df_kl AlphaZero / "
+        "df_pred supervised — the reference's Models map, df_model3.py:310)"
+    )
     num_games: int = opt(1024, "number of lockstep boards per actor shard")
     seed: int = opt(0, "base RNG seed (0 = derive from time at launch site)")
     use_df_feature: bool = opt(False, "25-plane df features instead of AGZ 18")

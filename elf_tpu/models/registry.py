@@ -39,3 +39,42 @@ def get_model_family(name: str) -> ModelFamily:
     if name not in MODELS:
         raise KeyError(f"unknown model family '{name}'; have {sorted(MODELS)}")
     return MODELS[name]
+
+
+def family_feature_set(name: str, use_df_feature: bool = False) -> str:
+    """The feature set a family trains/plays on ('agz' or 'df'); the
+    --use_df_feature flag upgrades agz families to df-25."""
+    fam = get_model_family(name)
+    return "df" if (fam.feature_set == "df" or use_df_feature) else "agz"
+
+
+def make_trainer(name: str, board_size: int, to, use_df_feature: bool = False):
+    """The `load_env` composition (model_loader.py:192 + df_model3.py:310
+    Models): model-family name + parsed TrainOptions -> a ready Trainer,
+    its train mode, and the feature set to extract.
+
+    Returns (trainer, train_mode, feature_set):
+      df_kl   -> Trainer + "mcts"    (AlphaZero MCTSPrediction loss)
+      df_pred -> Trainer + "offline" (supervised MultiplePrediction)
+    df_policy (value-head-less PolicyNet) has no Trainer path — build it
+    directly via models.policy_net.init_policy_net (see
+    tests/test_offline_models.py)."""
+    fam = get_model_family(name)
+    if fam.model_cls is not PolicyValueNet:
+        raise ValueError(
+            f"model family '{name}' ({fam.model_cls.__name__}) has no "
+            "value head; use elf_tpu.models.policy_net directly"
+        )
+    from elf_tpu.training.trainer import Trainer
+
+    feature_set = family_feature_set(name, use_df_feature)
+    cfg = ModelConfig(
+        board_size=board_size,
+        num_planes=25 if feature_set == "df" else 18,
+        num_block=to.num_block,
+        dim=to.dim,
+        bn_momentum=to.bn_momentum,
+        use_bf16=to.bf16,
+    )
+    train_mode = "mcts" if fam.loss_fn is mcts_prediction_loss else "offline"
+    return Trainer(cfg, to), train_mode, feature_set

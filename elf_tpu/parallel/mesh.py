@@ -95,9 +95,11 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 
 
-def make_sharded_train_step(trainer, mesh: Mesh, template_state):
+def make_sharded_train_step(trainer, mesh: Mesh, template_state,
+                            train_mode: str = "mcts"):
     """jit the Trainer train step with GSPMD shardings: batch over dp,
-    params tp-sharded per _PARAM_RULES, optimizer state following params."""
+    params tp-sharded per _PARAM_RULES, optimizer state following params.
+    train_mode "offline" shards the df_pred supervised step instead."""
     from elf_tpu.training.trainer import TrainState
 
     ps = param_shardings(mesh, template_state.params)
@@ -110,7 +112,11 @@ def make_sharded_train_step(trainer, mesh: Mesh, template_state):
         step=NamedSharding(mesh, P()),
     )
     data = batch_sharding(mesh)
-    step_fn = trainer.make_train_step()
+    step_fn = (
+        trainer.make_offline_train_step()
+        if train_mode == "offline"
+        else trainer.make_train_step()
+    )
     return jax.jit(
         step_fn,
         in_shardings=(state_shardings, data, data, data),

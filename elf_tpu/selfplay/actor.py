@@ -490,8 +490,16 @@ class SelfplayActor:
                 out_sh=batched,
             ),
             "chunk": chunk,
+            # the tree is donated into finish only when finish RETURNS a
+            # tree (persistent path, via advance_tree): donating it on
+            # the transient path has no matching output, so XLA cannot
+            # alias anything and jax warns "donated buffers were not
+            # usable" — a no-op donation that read as a hot-loop copy in
+            # benchmark logs.  (The per-simulate-chunk donation, where
+            # the big buffers actually cycle, aliases cleanly.)
             "finish": jit_with(
-                finish, donate=(0, 1),
+                finish,
+                donate=(0, 1) if cfg.persistent_tree else (0,),
                 in_sh=(batched, batched, repl, batched, repl),
                 out_sh=((batched, batched, batched)
                         if cfg.persistent_tree else (batched, batched)),

@@ -43,11 +43,16 @@ class LearnerRunner:
         opts: TrainOptions,
         mesh=None,
         seed: int = 0,
+        train_mode: str = "mcts",
     ):
+        """train_mode: "mcts" (df_kl — AlphaZero MCTSPrediction on visit
+        distributions) or "offline" (df_pred — supervised
+        MultiplePrediction on the `offline_a` future-action targets)."""
         self.trainer = trainer
         self.pipeline = pipeline
         self.ckpt_dir = ckpt_dir
         self.opts = opts
+        self.train_mode = train_mode
         self.logger = get_indexed_logger("training.LearnerRunner-")
         # learner<->selfplay coupling (train.py:70-78): when set, batches
         # containing records of a different selfplay version are skipped
@@ -60,16 +65,19 @@ class LearnerRunner:
             from elf_tpu.parallel.mesh import make_sharded_train_step, shard_state
 
             self._train_step, shardings = make_sharded_train_step(
-                trainer, mesh, self.state
+                trainer, mesh, self.state, train_mode=train_mode
             )
             self.state = shard_state(self.state, shardings)
         else:
             # state buffers are donated: the runner always rebinds
             # self.state to the step output, so the old TrainState can be
             # updated in place (saves a params+opt_state HBM copy per step)
-            self._train_step = jax.jit(
-                trainer.make_train_step(), donate_argnums=(0,)
+            step_fn = (
+                trainer.make_offline_train_step()
+                if train_mode == "offline"
+                else trainer.make_train_step()
             )
+            self._train_step = jax.jit(step_fn, donate_argnums=(0,))
         self._cooldown_step = jax.jit(
             trainer.make_cooldown_step(), donate_argnums=(0,)
         )
@@ -87,8 +95,11 @@ class LearnerRunner:
                     "skipping batch with selfplay_ver != %d", cur
                 )
                 return None
-        feats, pi_t, winner = self.pipeline.device_batch(hb)
-        self.state, stats = self._train_step(self.state, feats, pi_t, winner)
+        if self.train_mode == "offline":
+            feats, target, winner = self.pipeline.device_batch_offline(hb)
+        else:
+            feats, target, winner = self.pipeline.device_batch(hb)
+        self.state, stats = self._train_step(self.state, feats, target, winner)
         return {k: float(v) for k, v in stats.items()}
 
     def run_cooldown(self) -> int:

@@ -22,10 +22,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 import jax.numpy as jnp
 import numpy as np
-import optax
+
 
 from elf_tpu.config import ReplayOptions, TrainOptions
-from elf_tpu.models.resnet import ModelConfig, PolicyValueNet
+
 from elf_tpu.training.offline import OfflineLoader
 from elf_tpu.training.pipeline import TrainingPipeline
 from elf_tpu.training.replay import ReplayBuffer
@@ -42,63 +42,58 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=0.02)
     ap.add_argument("--num_future_actions", type=int, default=1,
                     help="multi-horizon MultiplePrediction targets")
+    ap.add_argument("--model", type=str, default="df_pred",
+                    help="model family (models/registry.py); df_pred is "
+                         "the supervised MultiplePrediction family")
+    ap.add_argument("--use_df_feature", type=int, default=0)
     args = ap.parse_args(argv)
 
     from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
+    from elf_tpu.models.registry import make_trainer
 
     pin_platform_from_env()
     enable_compilation_cache()
     size = 19
+    to = TrainOptions(batchsize=args.batch, num_block=args.blocks,
+                      dim=args.dim, lr=args.lr, num_cooldown=0)
+    trainer, train_mode, feature_set = make_trainer(
+        args.model, size, to, use_df_feature=bool(args.use_df_feature)
+    )
     replay = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
                                         q_max_size=1000), seed=0)
     pipeline = TrainingPipeline(replay, size, seed=0,
-                                num_future_actions=args.num_future_actions)
+                                num_future_actions=args.num_future_actions,
+                                feature_set=feature_set)
     n = OfflineLoader(pipeline, num_threads=8).load_dir(args.sgf_dir)
-    print(json.dumps({"loaded_games": n}), flush=True)
+    print(json.dumps({"loaded_games": n, "model": args.model,
+                      "train_mode": train_mode,
+                      "feature_set": feature_set}), flush=True)
 
-    cfg = ModelConfig(board_size=size, num_planes=18, num_block=args.blocks,
-                      dim=args.dim, use_bf16=True)
-    model = PolicyValueNet(cfg)
-    variables = model.init(
-        jax.random.PRNGKey(0), jnp.zeros((1, size, size, 18)), train=False
+    state = trainer.init_state(jax.random.PRNGKey(0))
+    step_fn = jax.jit(
+        trainer.make_offline_train_step() if train_mode == "offline"
+        else trainer.make_train_step(),
+        donate_argnums=(0,),
     )
-    params, bstats = variables["params"], variables["batch_stats"]
-    tx = optax.sgd(args.lr, momentum=0.9)
-    opt_state = tx.init(params)
-
-    @jax.jit
-    def train_step(params, bstats, opt_state, feats, pi_t, winner):
-        def loss_fn(params):
-            (log_pi, value), mut = model.apply(
-                {"params": params, "batch_stats": bstats}, feats,
-                train=True, mutable=["batch_stats"],
-            )
-            target = jnp.argmax(pi_t, axis=1)
-            nll = -jnp.take_along_axis(log_pi, target[:, None], axis=1)[:, 0]
-            v_loss = jnp.mean((value - winner) ** 2)
-            acc = (jnp.argmax(log_pi, axis=1) == target).mean()
-            return nll.mean() + v_loss, (mut["batch_stats"], acc, nll.mean())
-
-        grads, (new_bstats, acc, nll) = jax.grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, new_bstats, opt_state, acc, nll
 
     t0 = time.time()
     accs = []
     for step in range(args.steps):
         hb = pipeline.sample_host_batch(args.batch)
-        feats, pi_t, winner = pipeline.device_batch(hb)
-        params, bstats, opt_state, acc, nll = train_step(
-            params, bstats, opt_state, feats, pi_t, winner
-        )
-        accs.append(float(acc))
+        if train_mode == "offline":
+            feats, target, winner = pipeline.device_batch_offline(hb)
+        else:
+            feats, target, winner = pipeline.device_batch(hb)
+        state, stats = step_fn(state, feats, target, winner)
+        acc = float(stats.get("acc/top1", 0.0))
+        nll = float(stats["loss/policy"])
+        accs.append(acc)
         if step % 20 == 0 or step == args.steps - 1:
             print(json.dumps({
                 "step": step,
                 "t": round(time.time() - t0, 1),
-                "top1_acc": round(float(acc), 4),
-                "nll": round(float(nll), 4),
+                "top1_acc": round(acc, 4),
+                "nll": round(nll, 4),
             }), flush=True)
     early = float(np.mean(accs[:10]))
     late = float(np.mean(accs[-10:]))

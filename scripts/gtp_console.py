@@ -19,9 +19,9 @@ import jax
 
 from elf_tpu.config import GameOptions, MCTSOptions, OptionMap, OptionSpec, TrainOptions
 from elf_tpu.console.gtp import GtpConsole, GtpEngine
-from elf_tpu.models.resnet import ModelConfig
+
 from elf_tpu.search.mcts import MCTSConfig
-from elf_tpu.training.trainer import Trainer, load_checkpoint
+from elf_tpu.training.trainer import load_checkpoint
 
 
 def main(argv=None):
@@ -38,18 +38,14 @@ def main(argv=None):
     mo = om.get(MCTSOptions)
     to = om.get(TrainOptions)
 
-    cfg = ModelConfig(
-        board_size=g.board_size,
-        num_planes=25 if g.use_df_feature else 18,
-        num_block=to.num_block,
-        dim=to.dim,
-        use_bf16=to.bf16,
-    )
     from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
+    from elf_tpu.models.registry import make_trainer
 
     pin_platform_from_env()
     enable_compilation_cache()
-    trainer = Trainer(cfg, to)
+    trainer, _train_mode, feature_set = make_trainer(
+        g.model, g.board_size, to, use_df_feature=g.use_df_feature
+    )
     state = trainer.init_state(jax.random.PRNGKey(0))
     if args.load:
         state = load_checkpoint(args.load, template=state)
@@ -60,7 +56,7 @@ def main(argv=None):
 
     # play settings (README.rst:147): no root noise, play-strength puct
     mcfg = MCTSConfig(
-        feature_set="df" if g.use_df_feature else "agz",
+        feature_set=feature_set,
         num_rollouts=mo.num_rollouts,
         rollouts_per_batch=mo.rollouts_per_batch,
         c_puct=mo.c_puct,

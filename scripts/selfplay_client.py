@@ -27,11 +27,11 @@ from elf_tpu.config import (
     TrainOptions,
 )
 from elf_tpu.logging_utils import configure, get_indexed_logger
-from elf_tpu.models.resnet import ModelConfig
+
 from elf_tpu.search.mcts import MCTSConfig
 from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
 from elf_tpu.control.client import SelfplayClient
-from elf_tpu.training.trainer import Trainer, load_checkpoint
+from elf_tpu.training.trainer import load_checkpoint
 
 
 def main(argv=None):
@@ -64,14 +64,11 @@ def main(argv=None):
     configure(args.loglevel)
     logger = get_indexed_logger("scripts.selfplay_client-")
 
-    cfg = ModelConfig(
-        board_size=g.board_size,
-        num_planes=25 if g.use_df_feature else 18,
-        num_block=to.num_block,
-        dim=to.dim,
-        use_bf16=to.bf16,
+    from elf_tpu.models.registry import make_trainer
+
+    trainer, _train_mode, feature_set = make_trainer(
+        g.model, g.board_size, to, use_df_feature=g.use_df_feature
     )
-    trainer = Trainer(cfg, to)
     template = trainer.init_state(__import__("jax").random.PRNGKey(0))
     eval_raw = trainer.make_eval_fn()
 
@@ -97,7 +94,7 @@ def main(argv=None):
         following_pass=g.following_pass,
     )
     mcfg = MCTSConfig(
-        feature_set="df" if g.use_df_feature else "agz",
+        feature_set=feature_set,
         num_rollouts=mo.num_rollouts,
         rollouts_per_batch=mo.rollouts_per_batch,
         c_puct=mo.c_puct,

@@ -28,10 +28,10 @@ from elf_tpu.config import (
     TrainOptions,
 )
 from elf_tpu.logging_utils import configure, get_indexed_logger
-from elf_tpu.models.resnet import ModelConfig
+
 from elf_tpu.training.pipeline import TrainingPipeline
 from elf_tpu.training.runner import LearnerRunner
-from elf_tpu.training.trainer import Trainer, load_checkpoint, version_from_path
+from elf_tpu.training.trainer import load_checkpoint, version_from_path
 from elf_tpu.control.server import TrainServer
 
 
@@ -73,15 +73,15 @@ def main(argv=None):
     configure(args.loglevel)
     logger = get_indexed_logger("scripts.train_server-")
 
-    cfg = ModelConfig(
-        board_size=g.board_size,
-        num_planes=25 if g.use_df_feature else 18,
-        num_block=to.num_block,
-        dim=to.dim,
-        bn_momentum=to.bn_momentum,
-        use_bf16=to.bf16,
+    # model-family selection (the reference's Models registry +
+    # load_env composition): --model df_kl (AlphaZero) | df_pred
+    # (supervised MultiplePrediction); the family also fixes the loss
+    # and the feature set (df families extract 25 planes)
+    from elf_tpu.models.registry import make_trainer
+
+    trainer, train_mode, feature_set = make_trainer(
+        g.model, g.board_size, to, use_df_feature=g.use_df_feature
     )
-    trainer = Trainer(cfg, to)
 
     mesh = None
     if args.use_mesh and len(jax.devices()) > 1:
@@ -98,10 +98,11 @@ def main(argv=None):
     pipeline = TrainingPipeline(
         replay, g.board_size, seed=g.seed,
         data_aug=g.data_aug,
-        feature_set="df" if g.use_df_feature else "agz",
+        num_future_actions=g.num_future_actions,
+        feature_set=feature_set,
     )
     runner = LearnerRunner(trainer, pipeline, args.ckpt_dir, to, mesh=mesh,
-                           seed=g.seed)
+                           seed=g.seed, train_mode=train_mode)
 
     if args.load:
         runner.state = load_checkpoint(args.load, template=runner.state)

@@ -80,3 +80,52 @@ class TestPolicyNet:
         assert fam.feature_set == "agz"
         with pytest.raises(KeyError):
             get_model_family("bogus")
+
+
+class TestMakeTrainer:
+    def test_families_compose(self):
+        """make_trainer (the load_env composition) builds family-correct
+        trainers: df_kl -> mcts mode / 18 planes, df_pred -> offline
+        mode, df upgrade via --use_df_feature."""
+        from elf_tpu.config import TrainOptions
+        from elf_tpu.models.registry import make_trainer
+
+        to = TrainOptions(batchsize=8, num_block=1, dim=8)
+        tr, mode, fs = make_trainer("df_kl", 5, to)
+        assert (mode, fs) == ("mcts", "agz")
+        assert tr.cfg.num_planes == 18
+        tr, mode, fs = make_trainer("df_pred", 5, to)
+        assert (mode, fs) == ("offline", "agz")
+        tr, mode, fs = make_trainer("df_kl", 5, to, use_df_feature=True)
+        assert fs == "df" and tr.cfg.num_planes == 25
+        with pytest.raises(ValueError):
+            make_trainer("df_policy", 5, to)
+
+    def test_offline_runner_trains(self, tmp_path):
+        """A df_pred LearnerRunner takes supervised minibatches from the
+        pipeline's offline_a targets end-to-end."""
+        import numpy as np
+
+        from elf_tpu.config import ReplayOptions, TrainOptions
+        from elf_tpu.models.registry import make_trainer
+        from elf_tpu.selfplay.records import make_record
+        from elf_tpu.training.pipeline import TrainingPipeline
+        from elf_tpu.training.replay import ReplayBuffer
+        from elf_tpu.training.runner import LearnerRunner
+
+        size = 5
+        to = TrainOptions(batchsize=4, num_block=1, dim=8, num_cooldown=0)
+        trainer, mode, fs = make_trainer("df_pred", size, to)
+        replay = ReplayBuffer(
+            ReplayOptions(num_reader=2, q_min_size=1, q_max_size=10), seed=0
+        )
+        pipeline = TrainingPipeline(replay, size, seed=0, feature_set=fs,
+                                    num_future_actions=2)
+        rec = make_record([12, 6, 18, 8], 1.0, [None] * 4, [0.0] * 4, size)
+        for _ in range(4):
+            pipeline.insert_record(rec)
+        runner = LearnerRunner(trainer, pipeline, str(tmp_path), to,
+                               train_mode=mode)
+        stats = runner.run_minibatch()
+        assert stats is not None and "acc/top1" in stats
+        assert int(runner.state.step) == 1
