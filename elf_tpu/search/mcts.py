@@ -153,6 +153,15 @@ class MCTSConfig:
     # plies by walking the parent chain from the game state's
     # last_placed (the reference clones a full GoState per node instead)
     feature_set: str = "agz"
+    # defer the per-rollout big-array writes (child pointers / stones
+    # rows / pre-priors) to one flush per simulation batch: an ~8x
+    # HBM-traffic saving when the [B, N, A] arrays are large (every
+    # scatter lowers to a full-array pass), but pure overhead for small
+    # trees, where the overlay bookkeeping dominates (the B=16 play
+    # config regressed 12% when it was unconditional).  "auto" enables
+    # it when B * N * A >= 2^24; "on"/"off" force (golden tests pin
+    # both paths).
+    batched_writes: str = "auto"
 
     @property
     def num_nodes(self) -> int:
@@ -509,17 +518,26 @@ def _overlay_child_lookup(overlay, cur, a, child):
 def _overlay_stat_fix(tree, overlay, cur, rows, A, n, w, vl):
     """Add the stats of overlay edges at `cur` into the per-action stat
     rows (their child ids are not in tree.child yet, but their node-
-    resident n/w/vl ARE current — allocation virtual loss included)."""
+    resident n/w/vl ARE current — allocation virtual loss included).
+    One vectorized scatter-add per stat over all m overlay slots
+    (non-hit lanes are redirected out of bounds and dropped)."""
     if overlay is None:
         return n, w, vl
     N = tree.n.shape[1]
-    for j in range(overlay.node.shape[0]):
-        hit = (overlay.node[j] == cur) & (overlay.node[j] >= 0)   # [B]
-        aj = jnp.clip(overlay.a[j], 0, A - 1)
-        cj = jnp.clip(overlay.child[j], 0, N - 1)
-        n = n.at[rows, aj].add(jnp.where(hit, tree.n[rows, cj], 0))
-        w = w.at[rows, aj].add(jnp.where(hit, tree.w[rows, cj], 0.0))
-        vl = vl.at[rows, aj].add(jnp.where(hit, tree.vl[rows, cj], 0))
+    m, B = overlay.node.shape
+    hit = (overlay.node == cur[None, :]) & (overlay.node >= 0)    # [m, B]
+    cj = jnp.clip(overlay.child, 0, N - 1)                        # [m, B]
+    rows_f = jnp.broadcast_to(rows[None, :], (m, B))
+    aj = jnp.where(hit, jnp.clip(overlay.a, 0, A - 1), A)
+    n = n.at[rows_f, aj].add(
+        jnp.where(hit, tree.n[rows_f, cj], 0), mode="drop"
+    )
+    w = w.at[rows_f, aj].add(
+        jnp.where(hit, tree.w[rows_f, cj], 0.0), mode="drop"
+    )
+    vl = vl.at[rows_f, aj].add(
+        jnp.where(hit, tree.vl[rows_f, cj], 0), mode="drop"
+    )
     return n, w, vl
 
 
@@ -908,6 +926,41 @@ def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
     return tree
 
 
+def _backprop_multi(tree: Tree, rows: jax.Array, leaves: jax.Array,
+                    values: jax.Array, active0: jax.Array,
+                    vl_mult: jax.Array, cfg: MCTSConfig) -> Tree:
+    """All K = m*B backprops of one simulation batch as ONE lockstep walk
+    (the sequential per-rollout version ran m dependent while loops —
+    pure latency at small batch).  Scatter-adds accumulate duplicate
+    (board, node) hits from overlapping paths exactly like the
+    sequential adds; addition commutes, so the visit counts are
+    identical and w differs only by float reassociation."""
+    K = leaves.shape[0]
+
+    def cond(carry):
+        _, _, active = carry
+        return jnp.any(active)
+
+    def body(carry):
+        tree, cur, active = carry
+        safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
+        p = tree.parent[rows, safe].astype(jnp.int32)
+        upd = active & (p >= 0)
+        node = jnp.where(upd, safe, tree.stones.shape[1])  # drop non-upd
+        tree = tree._replace(
+            n=tree.n.at[rows, node].add(1, mode="drop"),
+            w=tree.w.at[rows, node].add(values, mode="drop"),
+            vl=tree.vl.at[rows, node].add(
+                -cfg.virtual_loss * vl_mult, mode="drop"
+            ),
+        )
+        cur = jnp.where(upd, p, cur)
+        return tree, cur, upd
+
+    tree, _, _ = lax.while_loop(cond, body, (tree, leaves, active0))
+    return tree
+
+
 def fresh_tree(B: int, size: int, capacity: int, root_core: GoCore) -> Tree:
     """An empty tree (unexpanded root = root_core) at the given capacity —
     the starting point for persistent-tree actors."""
@@ -1161,56 +1214,76 @@ def mcts_simulate(
 
     N = tree.stones.shape[1]
 
+    A_ = size * size + 1
+    use_overlay = cfg.batched_writes == "on" or (
+        cfg.batched_writes == "auto" and B * N * A_ >= (1 << 24)
+    )
+
     def sim_batch(carry, batch_idx):
         tree, rng = carry
         active = None if budget is None else (batch_idx < budget)
+        if game_hash_hist is not None:
+            gl, gh, gn = game_hash_hist
+        else:
+            gl = gh = gn = None
 
-        def one_select(carry, j):
-            tree, ov = carry
-            if game_hash_hist is not None:
-                gl, gh, gn = game_hash_hist
-            else:
-                gl = gh = gn = None
-            tree, leaf, flush = _select_and_expand(
-                tree, cfg, size, gl, gh, gn, active=active, overlay=ov,
+        if use_overlay:
+            def one_select(carry, j):
+                tree, ov = carry
+                tree, leaf, flush = _select_and_expand(
+                    tree, cfg, size, gl, gh, gn, active=active, overlay=ov,
+                )
+                # record this rollout's new edge in overlay slot j
+                slot = (jnp.arange(m) == j)[:, None]           # [m, 1]
+                ov = _Overlay(
+                    node=jnp.where(
+                        slot,
+                        jnp.where(flush.valid, flush.edge_node, -1)[None],
+                        ov.node,
+                    ),
+                    a=jnp.where(slot, flush.edge_a[None], ov.a),
+                    child=jnp.where(slot, flush.new_id[None], ov.child),
+                )
+                return (tree, ov), (leaf, flush)
+
+            ov0 = _Overlay(
+                node=jnp.full((m, B), -1, jnp.int32),
+                a=jnp.zeros((m, B), jnp.int32),
+                child=jnp.zeros((m, B), jnp.int32),
             )
-            # record this rollout's new edge in overlay slot j
-            slot = (jnp.arange(m) == j)[:, None]               # [m, 1]
-            ov = _Overlay(
-                node=jnp.where(
-                    slot, jnp.where(flush.valid, flush.edge_node, -1)[None],
-                    ov.node,
+            (tree, _), (leaves, flushes) = lax.scan(
+                one_select, (tree, ov0), jnp.arange(m)
+            )                                                  # leaves [m, B]
+
+            # ---- ONE deferred flush of the batch's big-array writes ----
+            # (invalid lanes are redirected out of bounds and dropped)
+            rows_f = jnp.broadcast_to(rows[None, :], (m, B))
+            ids = jnp.where(flushes.valid, flushes.new_id, N)
+            en = jnp.where(flushes.valid, flushes.edge_node, N)
+            tree = tree._replace(
+                stones=tree.stones.at[rows_f, ids].set(
+                    flushes.stones_row, mode="drop"
                 ),
-                a=jnp.where(slot, flush.edge_a[None], ov.a),
-                child=jnp.where(slot, flush.new_id[None], ov.child),
+                prior=tree.prior.at[rows_f, ids].set(
+                    flushes.prior_row, mode="drop"
+                ),
+                child=tree.child.at[rows_f, en, flushes.edge_a].set(
+                    flushes.new_id.astype(jnp.int16), mode="drop"
+                ),
             )
-            return (tree, ov), (leaf, flush)
+        else:
+            # small trees: immediate writes per rollout (no overlay
+            # bookkeeping — scatters into small arrays are cheap and the
+            # deferred-flush machinery would dominate)
+            def one_select_direct(tree, _j):
+                tree, leaf, _ = _select_and_expand(
+                    tree, cfg, size, gl, gh, gn, active=active, overlay=None,
+                )
+                return tree, leaf
 
-        ov0 = _Overlay(
-            node=jnp.full((m, B), -1, jnp.int32),
-            a=jnp.zeros((m, B), jnp.int32),
-            child=jnp.zeros((m, B), jnp.int32),
-        )
-        (tree, _), (leaves, flushes) = lax.scan(
-            one_select, (tree, ov0), jnp.arange(m)
-        )                                                      # leaves [m, B]
-
-        # ---- ONE deferred flush of the batch's big-array writes ----
-        # (invalid lanes are redirected out of bounds and dropped)
-        rows_f = jnp.broadcast_to(rows[None, :], (m, B))
-        ids = jnp.where(flushes.valid, flushes.new_id, N)
-        en = jnp.where(flushes.valid, flushes.edge_node, N)
-        tree = tree._replace(
-            stones=tree.stones.at[rows_f, ids].set(
-                flushes.stones_row, mode="drop"
-            ),
-            prior=tree.prior.at[rows_f, ids].set(
-                flushes.prior_row, mode="drop"
-            ),
-            child=tree.child.at[rows_f, en, flushes.edge_a].set(
-                flushes.new_id.astype(jnp.int16), mode="drop"
-            ),
-        )
+            tree, leaves = lax.scan(
+                one_select_direct, tree, jnp.arange(m)
+            )                                                  # leaves [m, B]
 
         # ---- one fused NN evaluation over all m*B leaves ----
         rng, k = jax.random.split(rng)
@@ -1313,28 +1386,33 @@ def mcts_simulate(
         priors = priors.reshape(m, B, A)
         values = values.reshape(m, B)
 
-        # ---- sequential small-array write + backprop per rollout ----
-        def write_and_backprop(i, tree):
-            leaf = leaves[i]
-            safe = jnp.clip(leaf, 0, tree.stones.shape[1] - 1)
-            is_term = tree.terminal[rows, safe]
-            already = tree.expanded[rows, safe]
-            write = ~already & ~is_term
-            tree = tree._replace(
-                value=tree.value.at[rows, safe].set(
-                    jnp.where(write | is_term, values[i], tree.value[rows, safe])
-                ),
-                expanded=tree.expanded.at[rows, safe].set(
-                    tree.expanded[rows, safe] | write
-                ),
-            )
-            active0 = ~tree.terminal[:, 0] & ~is_dup[i]
-            if active is not None:
-                active0 = active0 & active
-            return _backprop(tree, safe, values[i], active0, cfg,
-                             vl_mult=dup_count[i])
-
-        tree = lax.fori_loop(0, m, write_and_backprop, tree)
+        # ---- batched small-array writes + ONE multi-lane backprop ----
+        # (the first occurrence of each leaf writes value/expanded;
+        # duplicates are excluded by is_dup, so scatter writers are
+        # unique; all m*B backprop walks run as one while loop)
+        flat_vals = values.reshape(mB)
+        flat_dup = is_dup.reshape(mB)
+        is_term_f = tree.terminal[flat_rows, safe]
+        already_f = tree.expanded[flat_rows, safe]
+        write_f = ~flat_dup & ~already_f & ~is_term_f
+        vwrite = jnp.where(
+            (write_f | is_term_f) & ~flat_dup, safe, N
+        )
+        tree = tree._replace(
+            value=tree.value.at[flat_rows, vwrite].set(
+                flat_vals, mode="drop"
+            ),
+            expanded=tree.expanded.at[
+                flat_rows, jnp.where(write_f, safe, N)
+            ].set(True, mode="drop"),
+        )
+        active0 = jnp.tile(~tree.terminal[:, 0], m) & ~flat_dup
+        if active is not None:
+            active0 = active0 & jnp.tile(active, m)
+        tree = _backprop_multi(
+            tree, flat_rows, safe, flat_vals, active0,
+            dup_count.reshape(mB), cfg,
+        )
         return (tree, rng), None
 
     (tree, _), _ = lax.scan(

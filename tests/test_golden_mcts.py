@@ -80,7 +80,7 @@ def _make_eval_fn(size):
     return eval_fn
 
 
-def _run_case(g, size):
+def _run_case(g, size, batched_writes="auto"):
     n2 = size * size
     A = n2 + 1
     st = _play_prefix(g["prefix"], size)
@@ -96,6 +96,7 @@ def _run_case(g, size):
         rotation_flip=False,
         unexplored_q_zero=bool(g["uqz"]),
         root_unexplored_q_zero=bool(g["ruqz"]),
+        batched_writes=batched_writes,
     )
     eval_fn = _make_eval_fn(size)
     res, tree = jax.jit(
@@ -147,3 +148,16 @@ def test_mcts_visit_parity_19(idx):
     if idx >= len(games):
         pytest.skip("fixture has fewer configs")
     _run_case(games[idx], 19)
+
+
+@pytest.mark.parametrize("batched_writes", ["on", "off"])
+def test_mcts_visit_parity_both_write_paths(batched_writes):
+    """The deferred-flush overlay path and the immediate-write path must
+    BOTH reproduce the reference's visit counts exactly (batched_writes
+    'auto' picks by problem size, so golden coverage pins each
+    explicitly, on a virtual-loss m=8 config where in-batch visibility
+    matters most)."""
+    games = [g for g in _load(9) if int(g.get("per_batch", 1)) > 1]
+    if not games:
+        pytest.skip("no multi-leaf config in fixture")
+    _run_case(games[0], 9, batched_writes=batched_writes)
