@@ -203,7 +203,7 @@ class GtpConsole:
         "list_commands", "quit", "boardsize", "clear_board", "komi",
         "play", "genmove", "undo", "final_score", "showboard",
         "final_status_list", "time_settings", "kgs-time_settings",
-        "time_left", "kgs-game_over",
+        "time_left", "kgs-game_over", "elf-ladder",
     ]
 
     def __init__(self, engine: GtpEngine, name: str = "elf_tpu",
@@ -298,6 +298,40 @@ class GtpConsole:
             return True, ""
         if cmd == "kgs-game_over":
             return True, ""
+        if cmd == "elf-ladder":
+            # extension: model-free ladder read of <color> <vertex> via
+            # the native solver (native/ladder.c, the checkLadder
+            # counterpart): "capture <depth>", "doomed_escape <depth>",
+            # or "none"
+            if len(args) < 2:
+                return False, "syntax error"
+            from elf_tpu.env.go.coords import gtp_to_flat
+            from elf_tpu.native.ladder import (
+                classify_ladder_move,
+                ladder_capture_depth,
+                ladder_escape_depth,
+            )
+
+            color = 1 if args[0].lower().startswith("b") else 2
+            mv = gtp_to_flat(args[1], e.size)
+            if mv is None or mv >= e.size * e.size:
+                return False, "invalid vertex"
+            stones = np.asarray(e.state.core.stones)[0]
+            ko_active = (
+                int(np.asarray(e.state.core.ko_age)[0]) == 0
+                and int(np.asarray(e.state.core.ko_point)[0]) >= 0
+            )
+            kp = (int(np.asarray(e.state.core.ko_point)[0])
+                  if ko_active else -1)
+            kc = int(np.asarray(e.state.core.ko_color)[0])
+            cls = classify_ladder_move(stones, mv, color, e.size, kp, kc)
+            if cls == "none":
+                return True, "none"
+            depth = max(
+                ladder_capture_depth(stones, mv, color, e.size, kp, kc),
+                ladder_escape_depth(stones, mv, color, e.size, kp, kc),
+            )
+            return True, f"{cls} {depth}"
         return False, "unknown command"
 
     def run(self, stdin=None, stdout=None) -> None:

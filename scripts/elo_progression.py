@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Elo progression across a checkpoint directory.
+
+Plays color-swapped matches between SUCCESSIVE checkpoints
+(`save-<step>.bin`, as kept by the trainer) and chains the Elo deltas
+into a progression table — the standalone counterpart of watching the
+server-driven eval ladder promote candidates over a training run
+(`/root/reference/src_cpp/elfgames/go/train/ctrl_eval.h` +
+`rlpytorch/runner/eval_iters.py` style reporting).
+
+  python scripts/elo_progression.py --ckpt_dir runs/prove9 \
+      --board_size 9 --blocks 4 --dim 64 --games_per_pair 64 \
+      --num_rollouts 64
+"""
+
+import argparse
+import json
+import math
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+
+from elf_tpu.config import TrainOptions
+from elf_tpu.models.resnet import ModelConfig
+from elf_tpu.search.mcts import MCTSConfig
+from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor, make_pair_eval_builder
+from elf_tpu.tools.match import head_to_head
+from elf_tpu.training.trainer import Trainer, load_checkpoint
+
+
+def elo_diff(winrate: float) -> float:
+    wr = min(max(winrate, 1e-6), 1 - 1e-6)
+    return 400.0 * math.log10(wr / (1.0 - wr))
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt_dir", type=str, required=True)
+    ap.add_argument("--board_size", type=int, default=9)
+    ap.add_argument("--blocks", type=int, default=4)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--komi", type=float, default=7.5)
+    ap.add_argument("--games_per_pair", type=int, default=64)
+    ap.add_argument("--num_rollouts", type=int, default=64)
+    ap.add_argument("--rollouts_per_batch", type=int, default=8)
+    ap.add_argument("--max_pairs", type=int, default=0, help="0 = all")
+    ap.add_argument("--include_init", type=str, default="",
+                    help="path to a random-init checkpoint as Elo 0 anchor")
+    ap.add_argument("--seed", type=int, default=17)
+    args = ap.parse_args(argv)
+
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
+
+    pin_platform_from_env()
+    enable_compilation_cache()
+
+    ckpts = sorted(
+        (int(m.group(1)), os.path.join(args.ckpt_dir, f))
+        for f in os.listdir(args.ckpt_dir)
+        if (m := re.match(r"save-(\d+)\.bin$", f))
+    )
+    paths = [p for _, p in ckpts]
+    steps = [s for s, _ in ckpts]
+    if args.include_init:
+        paths.insert(0, args.include_init)
+        steps.insert(0, 0)
+    if len(paths) < 2:
+        print("need at least two checkpoints", file=sys.stderr)
+        return 1
+    if args.max_pairs > 0 and len(paths) > args.max_pairs + 1:
+        keep = [0] + list(
+            range(len(paths) - args.max_pairs, len(paths))
+        )
+        paths = [paths[i] for i in keep]
+        steps = [steps[i] for i in keep]
+
+    cfg = ModelConfig(board_size=args.board_size, num_planes=18,
+                      num_block=args.blocks, dim=args.dim, use_bf16=True)
+    to = TrainOptions(batchsize=64, num_block=args.blocks, dim=args.dim)
+    trainer = Trainer(cfg, to)
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    eval_raw = trainer.make_eval_fn()
+
+    actor = SelfplayActor(
+        ActorConfig(board_size=args.board_size,
+                    batch=max(args.games_per_pair // 2, 1),
+                    komi=args.komi, policy_distri_cutoff=0,
+                    resign_thres=0.0, never_resign_prob=1.0),
+        MCTSConfig(num_rollouts=args.num_rollouts,
+                   rollouts_per_batch=args.rollouts_per_batch,
+                   c_puct=1.5, root_epsilon=0.0, komi=args.komi,
+                   ply_pass_enabled=max(
+                       6, args.board_size ** 2 * 160 // 361)),
+        make_pair_eval_builder(eval_raw), seed=args.seed,
+    )
+
+    states = {}
+
+    def load(path):
+        if path not in states:
+            states[path] = load_checkpoint(path, template=template)
+        return states[path]
+
+    elo = 0.0
+    print(json.dumps({"step": steps[0], "elo": 0.0, "anchor": True}),
+          flush=True)
+    for i in range(1, len(paths)):
+        a, b = load(paths[i]), load(paths[i - 1])
+        wins, total = head_to_head(
+            actor, (a.params, a.batch_stats), (b.params, b.batch_stats),
+            max(args.games_per_pair // 2, 1),
+        )
+        wr = wins / max(total, 1)
+        delta = elo_diff(wr)
+        elo += delta
+        print(json.dumps({
+            "step": steps[i], "vs_step": steps[i - 1],
+            "wins": wins, "n": total, "winrate": round(wr, 4),
+            "elo_delta": round(delta, 1), "elo": round(elo, 1),
+        }), flush=True)
+        states.pop(paths[i - 1], None)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

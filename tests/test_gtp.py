@@ -108,3 +108,32 @@ class TestGtp:
         text = out.getvalue()
         assert "elf_tpu" in text
         assert text.count("elf_tpu") == 1  # stopped at quit
+
+
+def test_elf_ladder_extension():
+    """elf-ladder <color> <vertex>: model-free ladder read over GTP."""
+    import numpy as np
+    from elf_tpu.console.gtp import GtpConsole, GtpEngine
+    from elf_tpu.search.mcts import MCTSConfig
+    import jax.numpy as jnp
+
+    def builder(params, batch_stats):
+        def eval_fn(feats, to_play):
+            K = feats.shape[0]
+            return jnp.full((K, 82), -np.log(82.0)), jnp.zeros((K,))
+        return eval_fn
+
+    eng = GtpEngine(builder, MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                                        rotation_flip=False), size=9)
+    con = GtpConsole(eng)
+    # classic ladder setup (see tests/test_golden_ladder.py): victim W
+    # stone E5 in atari, driver stones; the escape F5 is ladder-doomed
+    for color, vert in (("b", "E6"), ("b", "D5"), ("b", "E4"),
+                        ("b", "G5")):
+        assert con.handle(f"play {color} {vert}").startswith("=")
+    assert con.handle("play w E5").startswith("=")
+    out = con.handle("elf-ladder w F5")
+    assert out.startswith("= doomed_escape"), out
+    out = con.handle("elf-ladder b A1")
+    assert out.strip() == "= none", out
+    assert "elf-ladder" in con.handle("list_commands")
