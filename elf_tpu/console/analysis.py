@@ -103,11 +103,14 @@ class AnalysisDriver:
             builder = self.eval_fn_builder
 
             def fn(core, hist, hlen, params, batch_stats, rng, tree_in,
-                   hh_lo, hh_hi, nhash):
+                   hh_lo, hh_hi, nhash, last_placed):
                 return run_mcts(
                     core, hist, hlen, builder(params, batch_stats), rng, cfg,
                     self.size, init_tree=tree_in,
                     game_hash_hist=(hh_lo, hh_hi, nhash),
+                    # df leaves need the real placement history
+                    root_last_placed=(last_placed
+                                      if cfg.feature_set == "df" else None),
                 )
 
             self._jit_search = jax.jit(fn)
@@ -124,7 +127,7 @@ class AnalysisDriver:
             self.state.core, self.state.stone_hist, self.state.hist_len,
             self.params, self.batch_stats, k, self.tree,
             self.state.hash_hist_lo, self.state.hash_hist_hi,
-            self.state.nhash,
+            self.state.nhash, self.state.last_placed,
         )
         self.tree = tree
         action = int(np.asarray(res.best_action)[0])
@@ -148,14 +151,8 @@ class AnalysisDriver:
         that start a working ladder or flee into one."""
         if played >= self.size * self.size:
             return None
-        try:
-            from elf_tpu.native.ladder import (
-                classify_ladder_move,
-                ladder_capture_depth,
-                ladder_escape_depth,
-            )
-        except RuntimeError:
-            return None
+        from elf_tpu.native.ladder import read_ladder
+
         stones = np.asarray(self.state.core.stones)[0]
         ko_active = (
             int(np.asarray(self.state.core.ko_age)[0]) == 0
@@ -166,19 +163,13 @@ class AnalysisDriver:
         )
         ko_color = int(np.asarray(self.state.core.ko_color)[0])
         try:
-            cls = classify_ladder_move(
+            cls, depth = read_ladder(
                 stones, played, mover, self.size, ko_point, ko_color
             )
         except RuntimeError:
             return None
         if cls == "none":
             return None
-        depth = max(
-            ladder_capture_depth(stones, played, mover, self.size,
-                                 ko_point, ko_color),
-            ladder_escape_depth(stones, played, mover, self.size,
-                                ko_point, ko_color),
-        )
         return {"type": cls, "depth": depth}
 
     def _dump_tree(self, ply: int, tree) -> Optional[str]:

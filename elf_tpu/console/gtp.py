@@ -88,12 +88,16 @@ class GtpEngine:
             eval_fn = self.eval_fn_builder
 
             def fn(core, hist, hlen, params, batch_stats, rng, tree_in,
-                   hh_lo, hh_hi, nhash):
+                   hh_lo, hh_hi, nhash, last_placed):
                 return run_mcts(
                     core, hist, hlen,
                     eval_fn(params, batch_stats), rng, cfg, self.size,
                     init_tree=tree_in,
                     game_hash_hist=(hh_lo, hh_hi, nhash),
+                    # df leaves rebuild placement-history planes from
+                    # the REAL game last_placed, as selfplay does
+                    root_last_placed=(last_placed
+                                      if cfg.feature_set == "df" else None),
                 )
 
             self._searches[key] = jax.jit(fn)
@@ -141,7 +145,7 @@ class GtpEngine:
             self.state.core, self.state.stone_hist, self.state.hist_len,
             self.params, self.batch_stats, k, self.tree,
             self.state.hash_hist_lo, self.state.hash_hist_hi,
-            self.state.nhash,
+            self.state.nhash, self.state.last_placed,
         )
         self.tree = tree
         a = int(np.asarray(res.best_action)[0])
@@ -306,11 +310,7 @@ class GtpConsole:
             if len(args) < 2:
                 return False, "syntax error"
             from elf_tpu.env.go.coords import gtp_to_flat
-            from elf_tpu.native.ladder import (
-                classify_ladder_move,
-                ladder_capture_depth,
-                ladder_escape_depth,
-            )
+            from elf_tpu.native.ladder import read_ladder
 
             color = 1 if args[0].lower().startswith("b") else 2
             mv = gtp_to_flat(args[1], e.size)
@@ -324,14 +324,8 @@ class GtpConsole:
             kp = (int(np.asarray(e.state.core.ko_point)[0])
                   if ko_active else -1)
             kc = int(np.asarray(e.state.core.ko_color)[0])
-            cls = classify_ladder_move(stones, mv, color, e.size, kp, kc)
-            if cls == "none":
-                return True, "none"
-            depth = max(
-                ladder_capture_depth(stones, mv, color, e.size, kp, kc),
-                ladder_escape_depth(stones, mv, color, e.size, kp, kc),
-            )
-            return True, f"{cls} {depth}"
+            cls, depth = read_ladder(stones, mv, color, e.size, kp, kc)
+            return True, "none" if cls == "none" else f"{cls} {depth}"
         return False, "unknown command"
 
     def run(self, stdin=None, stdout=None) -> None:

@@ -14,12 +14,12 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import tempfile
 import threading
-from typing import Optional
+from typing import Optional, Tuple
 
 import numpy as np
+
+from elf_tpu.native._build import load_lib
 
 _lib = None
 _lib_lock = threading.Lock()
@@ -27,27 +27,9 @@ _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "ladder.c")
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
+    lib = load_lib(_SRC, "libladder.so")
+    if lib is None:
         return None
-    cache = os.path.join(tempfile.gettempdir(), "elf_tpu_native")
-    os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "libladder.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        tmp = so + ".build"
-        for cc in ("cc", "gcc", "clang"):
-            try:
-                subprocess.run(
-                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
-                    check=True, capture_output=True, timeout=60,
-                )
-                os.replace(tmp, so)
-                break
-            except (OSError, subprocess.SubprocessError):
-                continue
-        else:
-            return None
-    lib = ctypes.CDLL(so)
     for fn in ("ladder_escape_depth", "ladder_capture_depth"):
         f = getattr(lib, fn)
         f.restype = ctypes.c_int
@@ -103,16 +85,23 @@ def ladder_capture_depth(stones, move: int, capturer_color: int,
     ))
 
 
+def read_ladder(stones, move: int, player: int,
+                size: Optional[int] = None, ko_point: int = -1,
+                ko_color: int = 0) -> Tuple[str, int]:
+    """Model-free classification of `move` by `player` plus its depth:
+    ('capture', d) — starts a working ladder; ('doomed_escape', d) —
+    flees into one; ('none', 0)."""
+    d = ladder_capture_depth(stones, move, player, size, ko_point, ko_color)
+    if d > 0:
+        return "capture", d
+    d = ladder_escape_depth(stones, move, player, size, ko_point, ko_color)
+    if d > 0:
+        return "doomed_escape", d
+    return "none", 0
+
+
 def classify_ladder_move(stones, move: int, player: int,
                          size: Optional[int] = None, ko_point: int = -1,
                          ko_color: int = 0) -> str:
-    """Model-free classification of `move` by `player`:
-    'capture' (starts a working ladder), 'doomed_escape' (flees into
-    one), or 'none'."""
-    if ladder_capture_depth(stones, move, player, size, ko_point,
-                            ko_color) > 0:
-        return "capture"
-    if ladder_escape_depth(stones, move, player, size, ko_point,
-                           ko_color) > 0:
-        return "doomed_escape"
-    return "none"
+    """Classification only; see read_ladder for (class, depth)."""
+    return read_ladder(stones, move, player, size, ko_point, ko_color)[0]

@@ -12,8 +12,6 @@ from __future__ import annotations
 
 import ctypes
 import os
-import subprocess
-import tempfile
 import threading
 from typing import List, Optional, Tuple
 
@@ -25,27 +23,11 @@ _SRC = os.path.join(os.path.dirname(__file__), "..", "..", "native", "sgf_codec.
 
 
 def _build_lib() -> Optional[ctypes.CDLL]:
-    src = os.path.abspath(_SRC)
-    if not os.path.exists(src):
+    from elf_tpu.native._build import load_lib
+
+    lib = load_lib(_SRC, "libsgfcodec.so")
+    if lib is None:
         return None
-    cache = os.path.join(tempfile.gettempdir(), "elf_tpu_native")
-    os.makedirs(cache, exist_ok=True)
-    so = os.path.join(cache, "libsgfcodec.so")
-    if not os.path.exists(so) or os.path.getmtime(so) < os.path.getmtime(src):
-        tmp = so + ".build"
-        for cc in ("cc", "gcc", "clang"):
-            try:
-                subprocess.run(
-                    [cc, "-O2", "-shared", "-fPIC", "-o", tmp, src],
-                    check=True, capture_output=True, timeout=60,
-                )
-                os.replace(tmp, so)
-                break
-            except (OSError, subprocess.SubprocessError):
-                continue
-        else:
-            return None
-    lib = ctypes.CDLL(so)
     lib.moves_to_sgfstr.restype = ctypes.c_int
     lib.moves_to_sgfstr.argtypes = [
         ctypes.c_int,

@@ -887,45 +887,6 @@ def _evaluate_states(
     return prior, value
 
 
-def _backprop(tree: Tree, leaf: jax.Array, value: jax.Array,
-              active0: jax.Array, cfg: MCTSConfig,
-              vl_mult: Optional[jax.Array] = None) -> Tree:
-    """Add one visit of `value` (black perspective) along leaf->root
-    (updateEdgeStats + virtual-loss removal).  Stats live on the path
-    nodes themselves (each node's incoming edge).
-
-    `vl_mult` [B]: how many virtual losses to remove per edge — when a
-    sim batch selected the same leaf k times, the single backprop removes
-    all k (batch_rollouts: `updateEdgeStats(..., virtual_loss * count)`,
-    tree_search.h:255)."""
-    B = leaf.shape[0]
-    rows = jnp.arange(B)
-    if vl_mult is None:
-        vl_mult = jnp.ones((B,), jnp.int32)
-
-    def cond(carry):
-        _, _, active = carry
-        return jnp.any(active)
-
-    def body(carry):
-        tree, cur, active = carry
-        safe = jnp.clip(cur, 0, tree.stones.shape[1] - 1)
-        p = tree.parent[rows, safe].astype(jnp.int32)
-        upd = active & (p >= 0)
-        tree = tree._replace(
-            n=tree.n.at[rows, safe].add(jnp.where(upd, 1, 0)),
-            w=tree.w.at[rows, safe].add(jnp.where(upd, value, 0.0)),
-            vl=tree.vl.at[rows, safe].add(
-                jnp.where(upd, -cfg.virtual_loss * vl_mult, 0)
-            ),
-        )
-        cur = jnp.where(upd, p, cur)
-        return tree, cur, upd
-
-    tree, _, _ = lax.while_loop(cond, body, (tree, leaf, active0))
-    return tree
-
-
 def _backprop_multi(tree: Tree, rows: jax.Array, leaves: jax.Array,
                     values: jax.Array, active0: jax.Array,
                     vl_mult: jax.Array, cfg: MCTSConfig) -> Tree:
@@ -1392,9 +1353,10 @@ def mcts_simulate(
         # unique; all m*B backprop walks run as one while loop)
         flat_vals = values.reshape(mB)
         flat_dup = is_dup.reshape(mB)
-        is_term_f = tree.terminal[flat_rows, safe]
-        already_f = tree.expanded[flat_rows, safe]
-        write_f = ~flat_dup & ~already_f & ~is_term_f
+        # identical to the eval-prior flush mask above (terminal/
+        # expanded have not been written since those gathers)
+        is_term_f = flat_term
+        write_f = write_flat
         vwrite = jnp.where(
             (write_f | is_term_f) & ~flat_dup, safe, N
         )

@@ -141,11 +141,7 @@ def classify_suite(
     ladder-capture starter, a doomed escape, or neither.  Model-free —
     this reads the position itself, unlike `run_ladder_suite`, which
     scores a MODEL's move choice."""
-    from elf_tpu.native.ladder import (
-        classify_ladder_move,
-        ladder_capture_depth,
-        ladder_escape_depth,
-    )
+    from elf_tpu.native.ladder import read_ladder
     from elf_tpu.native.replayer import replay_to_snapshots
 
     entries = load_suite(suite_dir)
@@ -162,11 +158,7 @@ def classify_suite(
         )
         mv = moves[n - 1]
         player = 1 if (n - 1) % 2 == 0 else 2
-        cls = classify_ladder_move(board, mv, player, size)
-        depth = max(
-            ladder_capture_depth(board, mv, player, size),
-            ladder_escape_depth(board, mv, player, size),
-        )
+        cls, depth = read_ladder(board, mv, player, size)
         out.append(SuiteClassification(
             sgf=os.path.basename(sgf_path), move_number=n, played=mv,
             classification=cls, depth=depth,

@@ -16,7 +16,14 @@ in-flight games are discarded, never mis-scored.
 
 from __future__ import annotations
 
+import math
 from typing import List, Optional, Tuple
+
+
+def elo_diff(winrate: float) -> float:
+    """Elo difference implied by a head-to-head winrate."""
+    wr = min(max(winrate, 1e-6), 1 - 1e-6)
+    return 400.0 * math.log10(wr / (1.0 - wr))
 
 
 def head_to_head(

@@ -242,7 +242,17 @@ class TrainingPipeline:
 
     def device_batch_offline(self, hb: HostBatch):
         """Supervised multi-horizon variant: (features, offline_a [B,T]
-        D4-transformed, winner) — the MultiplePrediction target set."""
+        D4-transformed, winner) — the MultiplePrediction target set.
+        Honors the pipeline's feature_set like device_batch (df_pred +
+        --use_df_feature trains on 25 planes)."""
+        if self.feature_set == "df":
+            return _device_batch_offline_df(
+                jnp.asarray(hb.stones), jnp.asarray(hb.to_play),
+                jnp.asarray(hb.ko_point), jnp.asarray(hb.ply),
+                jnp.asarray(hb.last_placed), jnp.asarray(hb.codes),
+                jnp.asarray(hb.offline_a), jnp.asarray(hb.winner),
+                self.size,
+            )
         return _device_batch_offline(
             jnp.asarray(hb.snaps), jnp.asarray(hb.valid),
             jnp.asarray(hb.to_play), jnp.asarray(hb.codes),
@@ -270,16 +280,31 @@ def _device_batch_df(stones, to_play, ko_point, ply, last_placed, codes,
     return feats, pi_t, winner
 
 
-@functools.partial(jax.jit, static_argnums=(6,))
-def _device_batch_offline(snaps, valid, to_play, codes, offline_a, winner,
-                          size):
+def _transform_offline_a(offline_a, codes, size):
     from elf_tpu.env.go.features import transform_action
 
-    feats = extract_agz_from_snapshots(snaps, valid, to_play, codes, size)
     B, T = offline_a.shape
-    oa = transform_action(
+    return transform_action(
         offline_a.reshape(-1),
         jnp.repeat(codes, T),
         size,
     ).reshape(B, T)
-    return feats, oa, winner
+
+
+@functools.partial(jax.jit, static_argnums=(6,))
+def _device_batch_offline(snaps, valid, to_play, codes, offline_a, winner,
+                          size):
+    feats = extract_agz_from_snapshots(snaps, valid, to_play, codes, size)
+    return feats, _transform_offline_a(offline_a, codes, size), winner
+
+
+@functools.partial(jax.jit, static_argnums=(8,))
+def _device_batch_offline_df(stones, to_play, ko_point, ply, last_placed,
+                             codes, offline_a, winner, size):
+    from elf_tpu.env.go.features import extract_df_parts
+
+    feats = extract_df_parts(
+        stones, to_play, ko_point, ko_point >= 0, ply, last_placed,
+        codes, size,
+    )
+    return feats, _transform_offline_a(offline_a, codes, size), winner

@@ -15,7 +15,6 @@ server-driven eval ladder promote candidates over a training run
 
 import argparse
 import json
-import math
 import os
 import re
 import sys
@@ -25,16 +24,10 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import jax
 
 from elf_tpu.config import TrainOptions
-from elf_tpu.models.resnet import ModelConfig
 from elf_tpu.search.mcts import MCTSConfig
 from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor, make_pair_eval_builder
-from elf_tpu.tools.match import head_to_head
-from elf_tpu.training.trainer import Trainer, load_checkpoint
-
-
-def elo_diff(winrate: float) -> float:
-    wr = min(max(winrate, 1e-6), 1 - 1e-6)
-    return 400.0 * math.log10(wr / (1.0 - wr))
+from elf_tpu.tools.match import elo_diff, head_to_head
+from elf_tpu.training.trainer import load_checkpoint
 
 
 def main(argv=None):
@@ -50,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--max_pairs", type=int, default=0, help="0 = all")
     ap.add_argument("--include_init", type=str, default="",
                     help="path to a random-init checkpoint as Elo 0 anchor")
+    ap.add_argument("--model", type=str, default="df_kl")
+    ap.add_argument("--use_df_feature", type=int, default=0)
     ap.add_argument("--seed", type=int, default=17)
     args = ap.parse_args(argv)
 
@@ -78,10 +73,13 @@ def main(argv=None):
         paths = [paths[i] for i in keep]
         steps = [steps[i] for i in keep]
 
-    cfg = ModelConfig(board_size=args.board_size, num_planes=18,
-                      num_block=args.blocks, dim=args.dim, use_bf16=True)
+    from elf_tpu.models.registry import make_trainer
+
     to = TrainOptions(batchsize=64, num_block=args.blocks, dim=args.dim)
-    trainer = Trainer(cfg, to)
+    trainer, _mode, feature_set = make_trainer(
+        args.model, args.board_size, to,
+        use_df_feature=bool(args.use_df_feature),
+    )
     template = trainer.init_state(jax.random.PRNGKey(0))
     eval_raw = trainer.make_eval_fn()
 
@@ -90,7 +88,8 @@ def main(argv=None):
                     batch=max(args.games_per_pair // 2, 1),
                     komi=args.komi, policy_distri_cutoff=0,
                     resign_thres=0.0, never_resign_prob=1.0),
-        MCTSConfig(num_rollouts=args.num_rollouts,
+        MCTSConfig(feature_set=feature_set,
+                   num_rollouts=args.num_rollouts,
                    rollouts_per_batch=args.rollouts_per_batch,
                    c_puct=1.5, root_epsilon=0.0, komi=args.komi,
                    ply_pass_enabled=max(

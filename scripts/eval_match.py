@@ -13,7 +13,6 @@ Example:
 """
 
 import argparse
-import math
 import os
 import sys
 
@@ -27,13 +26,8 @@ from elf_tpu.models.resnet import ModelConfig
 from elf_tpu.search.mcts import MCTSConfig
 from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor, make_pair_eval_builder
 from elf_tpu.stats import WinRate
-from elf_tpu.tools.match import head_to_head
+from elf_tpu.tools.match import elo_diff, head_to_head
 from elf_tpu.training.trainer import Trainer, load_checkpoint
-
-
-def elo_diff(winrate: float) -> float:
-    wr = min(max(winrate, 1e-6), 1 - 1e-6)
-    return 400.0 * math.log10(wr / (1.0 - wr))
 
 
 def main(argv=None):

@@ -162,6 +162,13 @@ def main(argv=None):
         state0 = jax.tree.map(jax.numpy.copy, runner.state)
         save_checkpoint(args.out, state0, keep=1000)
         os.replace(os.path.join(args.out, "save-0.bin"), init_path)
+        # repoint `latest` (left dangling by the rename) so a resume
+        # before the first periodic checkpoint restarts from the init
+        # weights, not from a silently fresh re-initialization
+        latest = os.path.join(args.out, "latest")
+        if os.path.lexists(latest):
+            os.remove(latest)
+        os.symlink("init.bin", latest)
 
     acfg = ActorConfig(
         board_size=size, batch=args.batch_boards, komi=args.komi,

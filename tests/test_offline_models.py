@@ -129,3 +129,30 @@ class TestMakeTrainer:
         stats = runner.run_minibatch()
         assert stats is not None and "acc/top1" in stats
         assert int(runner.state.step) == 1
+
+    def test_offline_runner_trains_df(self, tmp_path):
+        """df_pred + --use_df_feature: the supervised runner must feed
+        25-plane df batches (device_batch_offline honors feature_set)."""
+        from elf_tpu.config import ReplayOptions, TrainOptions
+        from elf_tpu.models.registry import make_trainer
+        from elf_tpu.selfplay.records import make_record
+        from elf_tpu.training.pipeline import TrainingPipeline
+        from elf_tpu.training.replay import ReplayBuffer
+        from elf_tpu.training.runner import LearnerRunner
+
+        size = 5
+        to = TrainOptions(batchsize=4, num_block=1, dim=8, num_cooldown=0)
+        trainer, mode, fs = make_trainer("df_pred", size, to,
+                                         use_df_feature=True)
+        assert fs == "df" and trainer.cfg.num_planes == 25
+        replay = ReplayBuffer(
+            ReplayOptions(num_reader=2, q_min_size=1, q_max_size=10), seed=0
+        )
+        pipeline = TrainingPipeline(replay, size, seed=0, feature_set=fs)
+        rec = make_record([12, 6, 18, 8], 1.0, [None] * 4, [0.0] * 4, size)
+        for _ in range(4):
+            pipeline.insert_record(rec)
+        runner = LearnerRunner(trainer, pipeline, str(tmp_path), to,
+                               train_mode=mode)
+        stats = runner.run_minibatch()
+        assert stats is not None and "acc/top1" in stats
