@@ -170,28 +170,12 @@ def extract_agz(state: GoState, codes: jax.Array, size: int) -> jax.Array:
     snapshots beyond the game length are zero.  Planes 16/17: black/white
     to-move indicator.
     """
-    B = state.core.stones.shape[0]
-    n2 = size * size
-    player = state.core.to_play  # [B]
-
-    planes = []
-    for i in range(MAX_AGZ_HISTORY):
-        snap = state.stone_hist[:, MAX_AGZ_HISTORY - 1 - i]  # i moves ago
-        valid = (i < state.hist_len)[:, None]
-        mine = (snap == player[:, None]) & valid
-        theirs = (snap == (3 - player)[:, None]) & valid
-        planes.append(mine)
-        planes.append(theirs)
-    stacked = jnp.stack(planes, axis=1).astype(jnp.float32)  # [B, 16, N2]
-    stacked = transform_planes(stacked, codes, size)
-
-    black_ind = jnp.broadcast_to((player == BLACK)[:, None, None], (B, 1, n2))
-    white_ind = jnp.broadcast_to((player == WHITE)[:, None, None], (B, 1, n2))
-    out = jnp.concatenate(
-        [stacked, black_ind.astype(jnp.float32), white_ind.astype(jnp.float32)],
-        axis=1,
+    valid = (
+        jnp.arange(MAX_AGZ_HISTORY)[None, ::-1] < state.hist_len[:, None]
     )
-    return out.reshape(B, NUM_AGZ_PLANES, size, size).transpose(0, 2, 3, 1)
+    return extract_agz_from_snapshots(
+        state.stone_hist, valid, state.core.to_play, codes, size
+    )
 
 
 def extract_agz_from_snapshots(
@@ -203,17 +187,23 @@ def extract_agz_from_snapshots(
 ) -> jax.Array:
     """AGZ planes from explicit snapshots — used by the in-tree MCTS leaf
     evaluation, where history is reconstructed by walking parent chains
-    rather than stored per state."""
+    rather than stored per state.
+
+    The D4 transform runs on the COMPACT int8 snapshots (8 channels)
+    before the 16 boolean planes are built — ~8x less where-chain
+    traffic than transforming [K, 16, n2] f32 planes, and bit-identical
+    (comparisons commute with a spatial permutation)."""
     K = snaps.shape[0]
     n2 = size * size
+    s2 = snaps.reshape(K, MAX_AGZ_HISTORY, size, size)
+    st = _select_d4(s2, codes, _apply_d4_2d).reshape(K, MAX_AGZ_HISTORY, n2)
     planes = []
     for i in range(MAX_AGZ_HISTORY):
-        snap = snaps[:, MAX_AGZ_HISTORY - 1 - i]  # i moves ago
+        snap = st[:, MAX_AGZ_HISTORY - 1 - i]  # i moves ago
         v = valid[:, MAX_AGZ_HISTORY - 1 - i][:, None]
         planes.append((snap == to_play[:, None]) & v)
         planes.append((snap == (3 - to_play)[:, None]) & v)
     stacked = jnp.stack(planes, axis=1).astype(jnp.float32)
-    stacked = transform_planes(stacked, codes, size)
     black_ind = jnp.broadcast_to(
         (to_play == BLACK)[:, None, None].astype(jnp.float32), (K, 1, n2)
     )
