@@ -352,30 +352,51 @@ def _edge_stats(tree: Tree, node: jax.Array):
     cs = jnp.clip(child, 0, N - 1)
 
     if B * A * N >= (1 << 24):
-        # f32 one-hot + HIGHEST precision: the f32 operands decompose
-        # exactly into bf16 triples on the MXU, and each row has a single
-        # nonzero product, so the result is exact for counts up to 2^24
+        # bf16 one-hot MXU contraction, EXACT by construction: every
+        # output row sums exactly one nonzero product, int stats are
+        # split base-256 into bf16-exact digits, and w is decomposed
+        # into three bf16 residuals (8+8+8 mantissa bits = f32's 24).
+        # The residuals are computed with lax.reduce_precision — a
+        # convert round-trip would be folded away by XLA's
+        # excess-precision pass, silently zeroing the low pieces.
+        # Halving the materialized one-hot (vs f32) makes this the
+        # cheapest exact form measured (2.43 -> 1.86 ms at prod shapes);
+        # this op dominates tree overhead at B=1024.
+        bf = jnp.bfloat16
+        rp = lambda x: lax.reduce_precision(x, exponent_bits=8,
+                                            mantissa_bits=7)
         onehot = (
             (cs[:, :, None] == jnp.arange(N, dtype=jnp.int32)[None, None, :])
             & has[:, :, None]
-        ).astype(jnp.float32)                              # [B, A, N]
-        stats = jnp.stack(
+        ).astype(bf)                                       # [B, A, N]
+        w1 = rp(tree.w)
+        r1 = tree.w - w1
+        w2 = rp(r1)
+        w3 = rp(r1 - w2)
+        # n gets THREE base-256 digits: reused trees accumulate visits
+        # across moves, so n is bounded by 2^24 (f32-exactness bound the
+        # f32 path had), not by one search's rollout count
+        pieces = jnp.stack(
             [
-                tree.n.astype(jnp.float32),
-                tree.w,
-                tree.vl.astype(jnp.float32),
+                (tree.n // 65536).astype(bf),
+                ((tree.n // 256) % 256).astype(bf),
+                (tree.n % 256).astype(bf),
+                w1.astype(bf), w2.astype(bf), w3.astype(bf),
+                (tree.vl // 256).astype(bf),
+                (tree.vl % 256).astype(bf),
             ],
             axis=-1,
-        )                                                  # [B, N, 3]
+        )                                                  # [B, N, 8]
         out = jax.lax.dot_general(
-            onehot, stats,
+            onehot, pieces,
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )                                                  # [B, A, 3]
-        n = jnp.round(out[..., 0]).astype(jnp.int32)
-        w = out[..., 1]
-        vl = jnp.round(out[..., 2]).astype(jnp.int32)
+        )                                                  # [B, A, 8]
+        n = jnp.round(
+            (out[..., 0] * 256 + out[..., 1]) * 256 + out[..., 2]
+        ).astype(jnp.int32)
+        w = out[..., 3] + out[..., 4] + out[..., 5]
+        vl = jnp.round(out[..., 6] * 256 + out[..., 7]).astype(jnp.int32)
         return n, w, vl
 
     r2 = rows[:, None]

@@ -393,3 +393,44 @@ class TestPerPlayerOptions:
         np.testing.assert_array_equal(np.asarray(n_g), np.asarray(n_o))
         np.testing.assert_array_equal(np.asarray(vl_g), np.asarray(vl_o))
         np.testing.assert_array_equal(np.asarray(w_g), np.asarray(w_o))
+
+
+def test_edge_stats_onehot_path_exact():
+    """The bf16-piece MXU contraction in _edge_stats (taken when
+    B*A*N >= 2^24 — production shapes) must agree EXACTLY with the
+    small-shape gather path, including large reused-tree visit counts
+    (3-digit base-256 n split) and adversarial w values."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from elf_tpu.search import mcts as M
+
+    B, N = 128, 512
+    size = 19
+    A = size * size + 1
+    assert B * A * N >= (1 << 24)
+    rng = np.random.RandomState(42)
+    tree = M._make_tree(B, size, N)
+    n = rng.randint(0, 5_000_000, (B, N)).astype(np.int32)  # reuse-scale
+    w = (rng.rand(B, N).astype(np.float32) * 2 - 1) * n.astype(np.float32)
+    vl = rng.randint(0, 60, (B, N)).astype(np.int32)
+    child = rng.randint(-1, N, (B, N, A)).astype(np.int16)
+    tree = tree._replace(
+        n=jnp.asarray(n), w=jnp.asarray(w), vl=jnp.asarray(vl),
+        child=jnp.asarray(child),
+    )
+    node = jnp.asarray(rng.randint(0, N, (B,)).astype(np.int32))
+
+    got_n, got_w, got_vl = jax.jit(M._edge_stats)(tree, node)
+
+    # reference: plain per-row gather (the small-shape path, exact)
+    rows = np.arange(B)[:, None]
+    ch = child.astype(np.int64)[np.arange(B), np.asarray(node)]  # [B, A]
+    has = ch >= 0
+    cs = np.clip(ch, 0, N - 1)
+    ref_n = np.where(has, n[rows, cs], 0)
+    ref_w = np.where(has, w[rows, cs], 0.0)
+    ref_vl = np.where(has, vl[rows, cs], 0)
+    np.testing.assert_array_equal(np.asarray(got_n), ref_n)
+    np.testing.assert_array_equal(np.asarray(got_vl), ref_vl)
+    np.testing.assert_array_equal(np.asarray(got_w), ref_w)  # EXACT
