@@ -94,7 +94,9 @@ def parse_args(argv=None):
     ap.add_argument("--final_games", type=int, default=200,
                     help="games in the final confirmation match")
     ap.add_argument("--target_winrate", type=float, default=0.65)
-    ap.add_argument("--max_seconds", type=float, default=6 * 3600)
+    ap.add_argument("--max_seconds", type=float, default=6 * 3600,
+                    help="CUMULATIVE wall-clock budget across resumes "
+                         "(progress.json restores elapsed time)")
     ap.add_argument("--seed", type=int, default=7)
     return ap.parse_args(argv)
 
