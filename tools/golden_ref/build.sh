@@ -28,6 +28,6 @@ mkdir -p "$OUT"
 ./build/gen_sgf_golden_19 | gzip -9 > "$OUT/ref_sgf_codec_19.jsonl.gz"
 ./build/gen_ladder_golden_9 rand 20 160 2 | gzip -9 > "$OUT/ref_ladder_rand_9.jsonl.gz"
 ./build/gen_ladder_golden_19 rand 8 260 3 | gzip -9 > "$OUT/ref_ladder_rand_19.jsonl.gz"
-python dump_suite_probes.py | ./build/gen_ladder_golden_19 \
+JAX_PLATFORMS=cpu python dump_suite_probes.py | ./build/gen_ladder_golden_19 \
     | gzip -9 > "$OUT/ref_ladder_suite_19.jsonl.gz"
 ls -la "$OUT"
