@@ -103,11 +103,18 @@ def make_sharded_train_step(trainer, mesh: Mesh, template_state,
     from elf_tpu.training.trainer import TrainState
 
     ps = param_shardings(mesh, template_state.params)
+    # Optimizer state follows params: optax momentum/adam buffers are
+    # param-shaped subtrees whose leaf paths END with the param path
+    # (e.g. "0/trace/res_blocks_3/conv1/kernel"), so the $-anchored
+    # _PARAM_RULES give them exactly the param's tp spec; scalar leaves
+    # (step counts) fall through to P().  Replicating them instead would
+    # reshard every momentum buffer around each step under tp>1.
     state_shardings = TrainState(
         params=ps,
         batch_stats=replicate(mesh, template_state.batch_stats),
-        opt_state=jax.tree.map(
-            lambda _: NamedSharding(mesh, P()), template_state.opt_state
+        opt_state=_named_tree_map(
+            lambda name, leaf: NamedSharding(mesh, _spec_for(name, leaf)),
+            template_state.opt_state,
         ),
         step=NamedSharding(mesh, P()),
     )

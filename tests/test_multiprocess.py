@@ -45,6 +45,7 @@ def _env(extra=None):
     return env
 
 
+@pytest.mark.timeout(900)
 def test_server_and_two_client_processes(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt, exist_ok=True)
@@ -159,6 +160,7 @@ def test_server_and_two_client_processes(tmp_path):
             cl.close()
 
 
+@pytest.mark.timeout(600)
 def test_two_process_jax_distributed_learner(tmp_path):
     """Two OS processes form one jax.distributed CPU mesh and take a
     GSPMD-sharded train step; both must agree on the loss (same global

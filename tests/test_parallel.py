@@ -42,6 +42,55 @@ class TestSharding:
         s = shardings["init_bn"]["scale"]
         assert s.spec == jax.sharding.PartitionSpec()
 
+    def test_opt_state_follows_param_shardings(self):
+        """SGD momentum buffers mirror params, so their sharding specs must
+        equal the param specs (VERDICT r3 #5): replicating them would
+        reshard every momentum leaf around each tp>1 step."""
+        import optax
+
+        mesh = make_mesh(8, tp=2)
+        trainer = make_trainer()
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        _, shardings = make_sharded_train_step(trainer, mesh, state)
+
+        p_specs = jax.tree.map(lambda s: s.spec,
+                               param_shardings(mesh, state.params))
+        found_trace = False
+        for st in jax.tree.leaves(
+            shardings.opt_state,
+            is_leaf=lambda x: isinstance(x, optax.TraceState),
+        ):
+            if isinstance(st, optax.TraceState):
+                found_trace = True
+                trace_specs = jax.tree.map(lambda s: s.spec, st.trace)
+                assert trace_specs == p_specs
+        assert found_trace, "optimizer chain has no momentum TraceState"
+
+    def test_tp2_step_has_no_momentum_allgather(self):
+        """Compiled tp=2 HLO must not all-gather around the optimizer
+        update: with opt_state sharded like params the update is local."""
+        mesh = make_mesh(8, tp=2)
+        trainer = make_trainer()
+        state0 = trainer.init_state(jax.random.PRNGKey(0))
+        step_fn, shardings = make_sharded_train_step(trainer, mesh, state0)
+        B = 16
+        feats = jnp.zeros((B, 9, 9, 18))
+        scores = jnp.full((B, 82), 1.0 / 82)
+        winner = jnp.ones((B,))
+        sharded = shard_state(state0, shardings)
+        hlo = step_fn.lower(sharded, feats, scores, winner).compile().as_text()
+        # conv kernels are [3,3,in,out] with in or out split over tp=2; a
+        # momentum all-gather would materialize a full [3,3,32,32] operand
+        # from a half-sharded one.  Forward/backward activations legitimately
+        # all-gather, but those are [B,H,W,C] tensors — so assert no
+        # all-gather whose result is a 3x3 conv-kernel shape.
+        import re as _re
+        bad = [
+            l for l in hlo.splitlines()
+            if _re.search(r"= f32\[3,3,\d+,\d+\]\S* all-gather\(", l)
+        ]
+        assert not bad, f"momentum/kernel all-gather in HLO: {bad[:3]}"
+
     def test_sharded_step_matches_single_device(self):
         trainer = make_trainer()
         state0 = trainer.init_state(jax.random.PRNGKey(0))
