@@ -259,6 +259,10 @@ class ControlOptions:
         -1, "boards an eval client may use (shipped as ClientCtrl."
         "num_game_thread_used, ctrl_eval.h:140; -1 = all)"
     )
+    eval_num_rollouts: int = opt(
+        -1, "rollout budget for eval games (shipped in the eval job's "
+        "mcts_opt; -1 = same as selfplay, 0 = policy-only)"
+    )
     eval_winrate_thres: float = opt(0.55, "promotion threshold")
     eval_old_model: int = opt(-1, "baseline version override")
     keep_prev_selfplay: bool = opt(True, "keep replay buffer across promotions")

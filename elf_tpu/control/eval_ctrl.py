@@ -178,8 +178,19 @@ class EvalSubCtrl:
     def __init__(self, opts: ControlOptions, mcts_opt=None):
         self.opts = opts
         # server-side MCTS options: eval jobs ship the noise-free variant
-        # (ctrl_eval.h:233-236 strips root noise on the SERVER)
+        # (ctrl_eval.h:233-236 strips root noise on the SERVER), with an
+        # optional rollout-budget override (--eval_num_rollouts) so eval
+        # strength/cost can differ from selfplay search
         self.mcts_opt = mcts_opt.noise_free() if mcts_opt is not None else None
+        n_eval_ro = getattr(opts, "eval_num_rollouts", -1)
+        if self.mcts_opt is not None and n_eval_ro >= 0:
+            import dataclasses as _dc
+
+            self.mcts_opt = _dc.replace(
+                self.mcts_opt, num_threads=1,
+                num_rollouts_per_thread=n_eval_ro,
+            )
+        self.last_promotion_info: Optional[dict] = None
         self.baseline = -1
         self.perfs: Dict[Tuple[int, int], ModelPerf] = {}
         self.pending: List[int] = []  # candidate queue
@@ -242,6 +253,15 @@ class EvalSubCtrl:
                 est = perf.update_state(is_client_dead)
                 if est == WinEstimate.WIN:
                     self.logger.info("PROMOTE %s", perf.info())
+                    self.last_promotion_info = {
+                        "candidate": cand,
+                        "baseline": self.baseline,
+                        "winrate": round(perf.winrate(), 4),
+                        "n_done": (perf.noswap.win_count.n_done
+                                   + perf.swap.win_count.n_done),
+                        "n_stuck": (perf.noswap.win_count.n_stuck
+                                    + perf.swap.win_count.n_stuck),
+                    }
                     self.pending.remove(cand)
                     return cand
                 if est == WinEstimate.LOSS:

@@ -45,6 +45,7 @@ class TrainServer:
         record_sink: Optional[Callable] = None,
         journal_dir: str = "",
         mcts_opt=None,
+        promotion_log: str = "",
     ):
         """mcts_opt: a records.TSOptions shipped inside every request's
         ModelPair — the server drives rollout counts / noise / puct per
@@ -69,6 +70,11 @@ class TrainServer:
 
             self.journal = RecordJournal(journal_dir)
         self.on_promote = on_promote
+        # promotion history: every eval-gated baseline change, with the
+        # deciding eval winrate — the audit trail the learning proof and
+        # the driver's status polls read (game_ctrl.h:202 updateModel)
+        self.promotions: list = []
+        self._promotion_log = promotion_log
         self.num_selfplay_games = 0
         self.num_eval_games = 0
         self._initial_ver_seen = False
@@ -159,6 +165,10 @@ class TrainServer:
             "num_selfplay_games": self.num_selfplay_games,
             "num_eval_games": self.num_eval_games,
             "replay_size": self.replay.size(),
+            "num_promotions": len(self.promotions),
+            "last_promoted": (
+                self.promotions[-1]["ver"] if self.promotions else -1
+            ),
         }
 
     # -- model plane --------------------------------------------------------
@@ -241,6 +251,16 @@ class TrainServer:
         """ThreadedCtrl::updateModel (game_ctrl.h:202): new baseline, new
         selfplay version, optional replay clear, learner notification."""
         self.logger.info("promoting model version %d", ver)
+        entry = {"time": time.time(), "ver": ver}
+        info = self.eval.last_promotion_info
+        if info is not None and info.get("candidate") == ver:
+            entry["eval"] = info
+        self.promotions.append(entry)
+        if self._promotion_log:
+            import json
+
+            with open(self._promotion_log, "a") as f:
+                f.write(json.dumps(entry) + "\n")
         self.eval.set_baseline(ver)
         self.selfplay.set_version(ver)
         if not self.opts.keep_prev_selfplay:

@@ -152,9 +152,17 @@ class SelfplayActor:
         then runs GSPMD-sharded: boards/trees split on dp, params
         replicated (the pod-slice self-play DP shard of SURVEY §2.4; the
         reference scales this with 2000 independent 1-GPU client
-        processes, README.rst:134).  cfg.batch must divide by mesh 'dp'."""
+        processes, README.rst:134).  cfg.batch must divide by mesh 'dp'.
+
+        With a 'tp' axis of size > 1, set `params_sharding` to a pytree of
+        NamedSharding (elf_tpu.parallel.mesh.param_shardings) and pass
+        params device_put to those shardings: leaf NN evals then run
+        tensor-parallel over tp while boards stay dp-sharded."""
         self.cfg = cfg
         self.mesh = mesh
+        # pytree of NamedSharding for the params argument (None = fully
+        # replicated); batch_stats are always replicated
+        self.params_sharding = None
         self.mcts_cfg = dataclasses.replace(mcts_cfg, komi=cfg.komi)
         self.eval_fn_builder = eval_fn_builder
         self.size = cfg.board_size
@@ -359,11 +367,12 @@ class SelfplayActor:
 
         batched = NamedSharding(self.mesh, P("dp"))
         repl = NamedSharding(self.mesh, P())
+        pr = self.params_sharding if self.params_sharding is not None else repl
         if cfg.persistent_tree:
-            in_sh = (batched, repl, repl, repl, batched, repl, batched)
+            in_sh = (batched, pr, repl, repl, batched, repl, batched)
             out_sh = (batched, batched, batched)
         else:
-            in_sh = (batched, repl, repl, repl, batched, repl)
+            in_sh = (batched, pr, repl, repl, batched, repl)
             out_sh = (batched, batched)
         return jax.jit(
             move_fn, in_shardings=in_sh, out_shardings=out_sh,
@@ -475,9 +484,11 @@ class SelfplayActor:
             return jax.jit(fn, donate_argnums=donate,
                            in_shardings=in_sh, out_shardings=out_sh)
 
-        prep_in = ((batched, repl, repl, repl, batched)
+        pr = (self.params_sharding if self.params_sharding is not None
+              else repl)
+        prep_in = ((batched, pr, repl, repl, batched)
                    if cfg.persistent_tree
-                   else (batched, repl, repl, repl))
+                   else (batched, pr, repl, repl))
         fns = {
             "prepare": jit_with(
                 prepare,
@@ -486,7 +497,7 @@ class SelfplayActor:
             ),
             "simulate": jit_with(
                 make_sim(chunk), donate=(0,),
-                in_sh=(batched, batched, repl, repl, repl, repl),
+                in_sh=(batched, batched, pr, repl, repl, repl),
                 out_sh=batched,
             ),
             "chunk": chunk,

@@ -60,6 +60,7 @@ class LearnerRunner:
         self.version_provider = None       # () -> current selfplay version
         self.keep_prev_selfplay = True
         self.skipped_stale_batches = 0
+        self.ckpt_keep = 10                # keep-last-k checkpoint cleanup
         self.state = trainer.init_state(jax.random.PRNGKey(seed))
         if mesh is not None:
             from elf_tpu.parallel.mesh import make_sharded_train_step, shard_state
@@ -131,7 +132,7 @@ class LearnerRunner:
     def episode_summary(self) -> int:
         """Cooldown + checkpoint; returns the new model version (= step)."""
         self.run_cooldown()
-        path = save_checkpoint(self.ckpt_dir, self.state)
+        path = save_checkpoint(self.ckpt_dir, self.state, keep=self.ckpt_keep)
         ver = int(self.state.step)
         self.logger.info("saved %s (version %d)", path, ver)
         return ver

@@ -1,0 +1,437 @@
+#!/usr/bin/env python
+"""Prove learning THROUGH the production distributed control plane.
+
+`scripts/prove_learning.py` proves the selfplay->replay->train loop
+strengthens the model *in one process*.  This script proves the same
+thing through the deployment topology the platform actually ships
+(`/root/reference/README.rst:132-134` — 1 training server + N self-play
+client processes): it launches
+
+  - 1 x `scripts/train_server.py`  (learner + TCP control plane), and
+  - N x `scripts/selfplay_client.py` (real-MCTS self-play; the first
+    client is allocated eval duty, client_manager.h:215),
+
+with NO cheat flags.  Records flow over TCP, the server trains, queues
+each episode's checkpoint as a candidate (`ThreadedCtrl::
+addNewModelForEvaluation`, game_ctrl.h:118), eval clients play
+color-swapped candidate-vs-baseline games (fair_pick.h:248), and the
+server promotes candidates whose win-rate bound clears
+`--eval_winrate_thres` (ctrl_eval.h:240, game_ctrl.h:202-232
+updateModel) — repeatedly, until `--target_promotions` promotions
+happened.  Afterwards the driver plays a final fixed-rollout anchor
+match: last promoted checkpoint vs the frozen random init.
+
+Artifacts under --out:
+  ckpt/promotions.jsonl   the server's promotion audit log
+  status_curve.jsonl      driver polls of the server `status` endpoint
+  final.json              the anchor match result
+  init.bin                frozen random-init snapshot
+  promoted-<ver>.bin      every promoted checkpoint (survives keep-k)
+
+Resumable: re-running with the same --out restarts the server with
+--load latest + journal-rebuilt replay; --max_seconds is a CUMULATIVE
+wall budget across resumes (progress.json).
+
+Driver-reproducible entry point (a few hours on one TPU chip, all
+three processes share it):
+
+  python scripts/prove_production.py --out /tmp/prod9
+
+CI-scale variant (5x5, CPU — see tests/test_production_loop.py):
+
+  python scripts/prove_production.py --out /tmp/prod5 --platform cpu \
+      --board_size 5 --num_block 1 --dim 16 --num_games 32 \
+      --rollouts 16 --eval_rollouts 0 --eval_num_games 20 \
+      --selfplay_init_num 80 --selfplay_update_num 40 \
+      --num_minibatch 25 --train_bs 64 --target_promotions 1 \
+      --final_games 0 --max_seconds 900
+"""
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PY = sys.executable
+
+
+def parse_args(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", type=str, default="/tmp/prod9")
+    ap.add_argument("--platform", type=str, default="",
+                    help="JAX platform for all processes ('' = default "
+                         "accelerator; 'cpu' for the CI variant)")
+    ap.add_argument("--port", type=int, default=0, help="0 = pick free")
+    ap.add_argument("--board_size", type=int, default=9)
+    ap.add_argument("--komi", type=float, default=7.5)
+    ap.add_argument("--num_block", type=int, default=4)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--num_clients", type=int, default=2)
+    ap.add_argument("--num_games", type=int, default=256,
+                    help="lockstep boards on the first (eval-capable) client")
+    ap.add_argument("--client1_num_games", type=int, default=-1,
+                    help="boards on the other clients (-1 = num_games/2)")
+    ap.add_argument("--rollouts", type=int, default=96)
+    ap.add_argument("--rollouts_per_batch", type=int, default=8)
+    ap.add_argument("--c_puct", type=float, default=1.5)
+    ap.add_argument("--root_epsilon", type=float, default=0.25)
+    ap.add_argument("--root_alpha", type=float, default=0.2)
+    ap.add_argument("--eval_rollouts", type=int, default=64)
+    ap.add_argument("--eval_num_games", type=int, default=50)
+    ap.add_argument("--eval_num_threads", type=int, default=-1,
+                    help="boards an eval client may dedicate to an eval "
+                         "job (server-driven ClientCtrl cap; -1 = all)")
+    ap.add_argument("--eval_winrate_thres", type=float, default=0.55)
+    ap.add_argument("--train_bs", type=int, default=512)
+    ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--num_minibatch", type=int, default=50,
+                    help="train minibatches per episode/candidate")
+    ap.add_argument("--selfplay_init_num", type=int, default=300)
+    ap.add_argument("--selfplay_update_num", type=int, default=150)
+    ap.add_argument("--replay_games", type=int, default=6000)
+    ap.add_argument("--target_promotions", type=int, default=3)
+    ap.add_argument("--max_seconds", type=float, default=4 * 3600,
+                    help="CUMULATIVE wall budget across resumes")
+    ap.add_argument("--final_games", type=int, default=200,
+                    help="anchor match games (0 = skip the anchor match)")
+    ap.add_argument("--final_rollouts", type=int, default=64)
+    ap.add_argument("--final_target", type=float, default=0.60)
+    ap.add_argument("--moves_per_round", type=int, default=16)
+    ap.add_argument("--seed", type=int, default=11)
+    return ap.parse_args(argv)
+
+
+def _free_port() -> int:
+    import socket
+
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _env(platform: str):
+    env = dict(os.environ)
+    env.setdefault("PYTHONUNBUFFERED", "1")
+    if platform:
+        env["JAX_PLATFORMS"] = platform
+        if platform == "cpu":
+            env["XLA_FLAGS"] = (
+                env.get("XLA_FLAGS", "")
+                + " --xla_force_host_platform_device_count=1"
+            ).strip()
+    return env
+
+
+def _wait_in_log(path: str, needle: str, proc, deadline: float,
+                 what: str) -> bool:
+    while time.time() < deadline:
+        if proc.poll() is not None:
+            return False
+        try:
+            with open(path) as f:
+                if needle in f.read():
+                    return True
+        except OSError:
+            pass
+        time.sleep(1.0)
+    print(f"# TIMEOUT waiting for {what}", flush=True)
+    return False
+
+
+def _stop(proc, name: str, grace: float = 45.0) -> None:
+    if proc.poll() is not None:
+        return
+    # SIGINT first: train_server's KeyboardInterrupt path closes the
+    # control socket and the journal cleanly
+    proc.send_signal(signal.SIGINT)
+    try:
+        proc.wait(timeout=grace)
+        return
+    except subprocess.TimeoutExpired:
+        pass
+    proc.terminate()
+    try:
+        proc.wait(timeout=15)
+    except subprocess.TimeoutExpired:
+        proc.kill()
+        proc.wait()
+    print(f"# {name} needed terminate/kill", flush=True)
+
+
+def final_anchor_match(args, last_ver: int):
+    """Last promoted checkpoint vs the frozen init at fixed rollouts
+    (color-swapped halves) — run in-process after the fleet shut down."""
+    from elf_tpu.cache import enable_compilation_cache, pin_platform_from_env
+
+    if args.platform:
+        os.environ["JAX_PLATFORMS"] = args.platform
+    pin_platform_from_env()
+    enable_compilation_cache()
+    import jax
+
+    from elf_tpu.config import TrainOptions
+    from elf_tpu.models.resnet import ModelConfig
+    from elf_tpu.search.mcts import MCTSConfig
+    from elf_tpu.selfplay.actor import (
+        ActorConfig,
+        SelfplayActor,
+        make_pair_eval_builder,
+    )
+    from elf_tpu.tools.match import head_to_head
+    from elf_tpu.training.trainer import Trainer, load_checkpoint
+
+    size = args.board_size
+    n2 = size * size
+    cfg = ModelConfig(board_size=size, num_planes=18,
+                      num_block=args.num_block, dim=args.dim, use_bf16=True)
+    to = TrainOptions(batchsize=args.train_bs, num_block=args.num_block,
+                      dim=args.dim, lr=args.lr)
+    trainer = Trainer(cfg, to)
+    template = trainer.init_state(jax.random.PRNGKey(0))
+    eval_raw = trainer.make_eval_fn()
+
+    init = load_checkpoint(os.path.join(args.out, "init.bin"),
+                           template=template)
+    cand_path = os.path.join(args.out, f"promoted-{last_ver}.bin")
+    if not os.path.exists(cand_path):
+        cand_path = os.path.join(args.out, "ckpt", f"save-{last_ver}.bin")
+    cand = load_checkpoint(cand_path, template=template)
+
+    actor = SelfplayActor(
+        ActorConfig(board_size=size, batch=max(args.final_games // 2, 1),
+                    komi=args.komi, policy_distri_cutoff=0,
+                    resign_thres=0.0, never_resign_prob=1.0),
+        MCTSConfig(num_rollouts=args.final_rollouts,
+                   rollouts_per_batch=args.rollouts_per_batch,
+                   c_puct=args.c_puct, root_epsilon=0.0, komi=args.komi,
+                   ply_pass_enabled=max(6, n2 * 160 // 361)),
+        make_pair_eval_builder(eval_raw), seed=args.seed + 99,
+    )
+    wins, total = head_to_head(
+        actor, (cand.params, cand.batch_stats),
+        (init.params, init.batch_stats), max(args.final_games // 2, 1),
+    )
+    return wins, total
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    out = args.out
+    ckpt = os.path.join(out, "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    progress_path = os.path.join(out, "progress.json")
+    curve_path = os.path.join(out, "status_curve.jsonl")
+    promo_path = os.path.join(ckpt, "promotions.jsonl")
+    init_path = os.path.join(out, "init.bin")
+
+    progress = {"wall": 0.0, "runs": 0}
+    if os.path.exists(progress_path):
+        with open(progress_path) as f:
+            progress.update(json.load(f))
+    progress["runs"] += 1
+    resume = os.path.exists(os.path.join(ckpt, "latest"))
+    t0 = time.time() - progress["wall"]
+    budget_left = args.max_seconds - progress["wall"]
+    if budget_left <= 60:
+        print("# no wall budget left; skipping fleet, going to verdict",
+              flush=True)
+        budget_left = 0
+
+    size = args.board_size
+    n2 = size * size
+    cutoff = max(4, n2 * 30 // 361)
+    pass_ply = max(6, n2 * 160 // 361)
+    port = args.port or _free_port()
+    env = _env(args.platform)
+
+    common = [
+        "--board_size", str(size), "--komi", str(args.komi),
+        "--num_block", str(args.num_block), "--dim", str(args.dim),
+        "--port", str(port),
+    ]
+    logs = {}
+    procs = {}
+
+    def spawn(name, cmd):
+        logs[name] = os.path.join(out, f"{name}.log")
+        lf = open(logs[name], "a")
+        lf.write(f"\n==== run {progress['runs']} ====\n")
+        lf.flush()
+        procs[name] = subprocess.Popen(
+            cmd, cwd=REPO, env=env, stdout=lf, stderr=subprocess.STDOUT,
+            text=True,
+        )
+        return procs[name]
+
+    server = None
+    status_client = None
+    last_promos = 0
+    try:
+        if budget_left > 0:
+            server_cmd = [
+                PY, os.path.join(REPO, "scripts/train_server.py"),
+                "--ckpt_dir", ckpt,
+                "--batchsize", str(args.train_bs), "--lr", str(args.lr),
+                "--num_minibatch", str(args.num_minibatch),
+                "--num_episodes", "0",
+                "--target_promotions", str(args.target_promotions),
+                "--max_seconds", str(max(60.0, budget_left)),
+                "--use_mesh", "0", "--ckpt_keep", "40",
+                "--expected_num_clients", str(args.num_clients),
+                "--selfplay_init_num", str(args.selfplay_init_num),
+                "--selfplay_update_num", str(args.selfplay_update_num),
+                "--eval_num_games", str(args.eval_num_games),
+                "--eval_num_threads", str(args.eval_num_threads),
+                "--eval_num_rollouts", str(args.eval_rollouts),
+                "--eval_winrate_thres", str(args.eval_winrate_thres),
+                "--num_rollouts", str(args.rollouts),
+                "--rollouts_per_batch", str(args.rollouts_per_batch),
+                "--c_puct", str(args.c_puct),
+                "--root_epsilon", str(args.root_epsilon),
+                "--root_alpha", str(args.root_alpha),
+                "--resign_thres", "0.0", "--never_resign_prob", "1.0",
+                "--num_reader", "8", "--q_min_size", "4",
+                "--q_max_size", str(max(1, args.replay_games // 8)),
+                "--seed", str(args.seed),
+                *common,
+            ]
+            if resume:
+                server_cmd += ["--load", os.path.join(ckpt, "latest")]
+            server = spawn("server", server_cmd)
+            if not _wait_in_log(logs["server"], "server up on :", server,
+                                time.time() + 900, "server ready"):
+                raise RuntimeError("server never became ready")
+            if not os.path.exists(init_path):
+                import shutil
+
+                shutil.copy(os.path.join(ckpt, "save-0.bin"), init_path)
+
+            def client_cmd(k, boards):
+                return [
+                    PY, os.path.join(REPO, "scripts/selfplay_client.py"),
+                    "--ckpt_dir", ckpt, "--num_games", str(boards),
+                    "--num_rollouts", str(args.rollouts),
+                    "--rollouts_per_batch", str(args.rollouts_per_batch),
+                    "--c_puct", str(args.c_puct),
+                    "--policy_distri_cutoff", str(cutoff),
+                    "--ply_pass_enabled", str(pass_ply),
+                    "--moves_per_round", str(args.moves_per_round),
+                    "--seed", str(args.seed + 100 + 37 * k
+                                  + 1000 * progress["runs"]),
+                    *common,
+                ]
+
+            # client0 first: the first identity the server sees is
+            # allocated eval duty (client_manager.h:215) — it must be the
+            # big/fast shard so evals settle quickly
+            spawn("client0", client_cmd(0, args.num_games))
+            if not _wait_in_log(logs["server"], "eval_then_selfplay",
+                                procs["client0"], time.time() + 600,
+                                "client0 registration"):
+                raise RuntimeError("client0 never registered")
+            b1 = (args.client1_num_games if args.client1_num_games > 0
+                  else max(args.num_games // 2, 8))
+            for k in range(1, args.num_clients):
+                spawn(f"client{k}", client_cmd(k, b1))
+
+            # ---- monitor ------------------------------------------------
+            from elf_tpu.control.transport import ControlClient
+
+            status_client = ControlClient("127.0.0.1", port, timeout=20.0)
+            last_beat = 0.0
+            while True:
+                if server.poll() is not None:
+                    print(f"# server exited rc={server.returncode}",
+                          flush=True)
+                    break
+                wall = time.time() - t0
+                if wall > args.max_seconds:
+                    print("# wall budget exhausted; stopping fleet",
+                          flush=True)
+                    break
+                st = status_client.send("status", "")
+                if isinstance(st, dict) and time.time() - last_beat > 14:
+                    last_beat = time.time()
+                    point = {"wall_s": round(wall, 1), **st}
+                    with open(curve_path, "a") as f:
+                        f.write(json.dumps(point) + "\n")
+                    print(json.dumps(point), flush=True)
+                    if st.get("num_promotions", 0) > last_promos:
+                        last_promos = st["num_promotions"]
+                        ver = st.get("last_promoted", -1)
+                        src = os.path.join(ckpt, f"save-{ver}.bin")
+                        if ver >= 0 and os.path.exists(src):
+                            import shutil
+
+                            shutil.copy(
+                                src, os.path.join(out, f"promoted-{ver}.bin")
+                            )
+                    progress["wall"] = wall
+                    with open(progress_path, "w") as f:
+                        json.dump(progress, f)
+                time.sleep(5.0)
+    finally:
+        if status_client is not None:
+            status_client.close()
+        for name in list(procs):
+            if name.startswith("client"):
+                _stop(procs[name], name)
+        if server is not None:
+            _stop(server, "server")
+        progress["wall"] = time.time() - t0
+        with open(progress_path, "w") as f:
+            json.dump(progress, f)
+
+    # ---- verdict -------------------------------------------------------
+    promotions = []
+    if os.path.exists(promo_path):
+        with open(promo_path) as f:
+            promotions = [json.loads(l) for l in f if l.strip()]
+    n_promos = len(promotions)
+    print(f"# promotions so far: {n_promos}/{args.target_promotions}",
+          flush=True)
+    for p in promotions:
+        print(json.dumps(p), flush=True)
+    if n_promos < args.target_promotions:
+        print("INCOMPLETE: re-run with the same --out to continue "
+              f"({progress['wall']:.0f}s of {args.max_seconds:.0f}s used)",
+              flush=True)
+        return 1
+
+    if args.final_games <= 0:
+        print(f"PRODUCTION LOOP PROVEN: {n_promos} eval-gated promotions "
+              "through the distributed control plane (anchor match skipped)",
+              flush=True)
+        return 0
+
+    last_ver = promotions[-1]["ver"]
+    wins, total = final_anchor_match(args, last_ver)
+    wr = wins / max(total, 1)
+    final = {
+        "final": True, "candidate_ver": last_ver, "wins": wins, "n": total,
+        "winrate": round(wr, 4), "rollouts": args.final_rollouts,
+        "target": args.final_target, "num_promotions": n_promos,
+        "passed": wr >= args.final_target,
+    }
+    with open(os.path.join(out, "final.json"), "w") as f:
+        json.dump(final, f, indent=1)
+    print(json.dumps(final), flush=True)
+    if final["passed"]:
+        print("PRODUCTION LEARNING PROVEN: promoted chain beats the random "
+              f"init {wins}/{total} (winrate {wr:.3f} >= "
+              f"{args.final_target}) after {n_promos} eval-gated "
+              "promotions over TCP", flush=True)
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -47,6 +47,14 @@ def main(argv=None):
     parser.add_argument("--num_minibatch", type=int, default=1000)
     parser.add_argument("--num_episodes", type=int, default=0,
                         help="0 = run forever")
+    parser.add_argument("--target_promotions", type=int, default=0,
+                        help="exit cleanly once this many eval-gated "
+                             "promotions happened (0 = no target)")
+    parser.add_argument("--max_seconds", type=float, default=0,
+                        help="wall-clock budget; exit cleanly when "
+                             "exceeded (0 = no budget)")
+    parser.add_argument("--ckpt_keep", type=int, default=10,
+                        help="keep-last-k checkpoints")
     parser.add_argument("--load", type=str, default="",
                         help="resume from checkpoint path or dir")
     parser.add_argument("--use_mesh", type=int, default=1,
@@ -119,7 +127,9 @@ def main(argv=None):
         co, ro, port=co.port, record_sink=pipeline.insert_record,
         journal_dir=os.path.join(args.ckpt_dir, "journal"),
         mcts_opt=TSOptions.from_search_options(mo),
+        promotion_log=os.path.join(args.ckpt_dir, "promotions.jsonl"),
     )
+    runner.ckpt_keep = args.ckpt_keep
     server.replay = replay  # share the buffer
     if args.load:
         # server restart: rebuild the replay buffer from the record journal
@@ -154,7 +164,16 @@ def main(argv=None):
         with prof.phase("wait_selfplay"):
             server.wait_for_sufficient_selfplay(timeout=86400)
         episode = 0
+        t_start = time.time()
         while args.num_episodes == 0 or episode < args.num_episodes:
+            if (args.target_promotions > 0
+                    and len(server.promotions) >= args.target_promotions):
+                logger.info("target of %d promotions reached; exiting",
+                            args.target_promotions)
+                break
+            if args.max_seconds > 0 and time.time() - t_start > args.max_seconds:
+                logger.info("wall budget exhausted; exiting")
+                break
             episode += 1
             # device-trace only the first episode (trace files grow fast)
             tracer = prof.trace() if episode == 1 else _null_ctx()

