@@ -65,6 +65,9 @@ class SelfplayClient:
         self.loaded_ver = -1
         self._ver_cache = {}
         self._last_seq = -1
+        # (black_ver, white_ver, player_swap) the eval actor's in-flight
+        # games are being played under; a change restarts them
+        self._eval_job = None
 
     # -- control round trips ------------------------------------------------
 
@@ -182,6 +185,16 @@ class SelfplayClient:
         colors exchanged when player_swap (game_selfplay.cc:164)."""
         vers = self.request.vers
         swap = self.request.client_ctrl.player_swap
+        job = (vers.black_ver, vers.white_ver, swap)
+        if self._eval_job != job:
+            # eval restart matrix (game_selfplay.cc:164-184 OnReceive): a
+            # changed candidate/baseline/swap assignment rebuilds the AIs
+            # and restarts in-flight games, so every record is scored
+            # under the exact assignment it was played with — without
+            # this, a mid-game swap flip re-colors live boards and
+            # corrupts the eval winrate
+            self.eval_actor.reset_all()
+            self._eval_job = job
         cand = self._load_cached(vers.black_ver)
         base = self._load_cached(vers.white_ver)
         black, white = (base, cand) if swap else (cand, base)

@@ -121,13 +121,28 @@ class ModelPerf:
         self._next_swap = False  # alternate halves across assignments
 
     def fill_in_request(self, identity: str, req: MsgRequest) -> bool:
-        """Register the client for a half, alternating swap/noswap so
-        colors stay balanced under per-game accounting; True if assigned."""
-        first = self._next_swap
-        for swap in (first, not first):
+        """Register the client for a half; True if assigned.
+
+        A registered client KEEPS its half until that half fills
+        (fair_pick.h registration persistence): our clients play
+        multi-round lockstep games, so flipping the swap assignment on
+        every request would re-color games mid-flight and corrupt reward
+        attribution.  First-time assignments alternate halves so colors
+        stay balanced across a fleet."""
+        sticky = [
+            (swap, batch)
+            for swap, batch in ((False, self.noswap), (True, self.swap))
+            if identity in batch.registered and not batch.is_full()
+        ]
+        if sticky:
+            order = [sticky[0][0]]
+        else:
+            order = [self._next_swap, not self._next_swap]
+        for swap in order:
             batch = self.swap if swap else self.noswap
             if batch.register(identity):
-                self._next_swap = not swap
+                if not sticky:
+                    self._next_swap = not swap
                 req.vers.black_ver = self.candidate
                 req.vers.white_ver = self.baseline
                 req.client_ctrl.player_swap = swap

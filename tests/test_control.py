@@ -146,9 +146,83 @@ class TestWireProtocol:
                 ver=1, white_ver=0, reward=reward,
                 swap=req.client_ctrl.player_swap,
             ))
-        assert sum(swaps) == 4  # halves alternate for color balance
+        assert sum(swaps) == 4  # both halves covered for color balance
+        # sticky assignment: one contiguous block per half, not
+        # alternation (a flip per request would re-color the client's
+        # multi-round lockstep games mid-flight)
+        assert swaps == sorted(swaps) or swaps == sorted(swaps, reverse=True)
         promoted = ev.check_promotions(lambda _ident: False)
         assert promoted == 1
+
+    def test_eval_half_sticky_until_full(self):
+        """A registered client keeps its swap half across requests until
+        that half fills (fair_pick.h registration persistence): flipping
+        per request would re-color in-flight games and corrupt reward
+        attribution — the bug the 9x9 production run exposed (candidates
+        measured at ~0.25 winrate while the learner's loss fell)."""
+        opts = ControlOptions(eval_num_games=8, eval_winrate_thres=0.55)
+        ev = EvalSubCtrl(opts)
+        ev.set_baseline(0)
+        ev.add_new_model_for_evaluation(1)
+        # many requests, NO results settled yet: assignment must not move
+        swaps = []
+        for _ in range(5):
+            req = MsgRequest()
+            assert ev.fill_in_request("c0", req)
+            swaps.append(req.client_ctrl.player_swap)
+        assert len(set(swaps)) == 1
+        # fill that half -> the next request moves to the other half
+        for _ in range(4):
+            ev.feed("c0", fake_record(
+                ver=1, white_ver=0, reward=1.0, swap=swaps[0]))
+        req = MsgRequest()
+        assert ev.fill_in_request("c0", req)
+        assert req.client_ctrl.player_swap != swaps[0]
+        # a second client starts on the other half for color balance
+        ev2 = EvalSubCtrl(opts)
+        ev2.set_baseline(0)
+        ev2.add_new_model_for_evaluation(1)
+        r1, r2 = MsgRequest(), MsgRequest()
+        assert ev2.fill_in_request("a", r1)
+        assert ev2.fill_in_request("b", r2)
+        assert r1.client_ctrl.player_swap != r2.client_ctrl.player_swap
+
+    def test_eval_job_change_restarts_client_games(self):
+        """Client-side eval restart matrix (game_selfplay.cc:164-184): a
+        changed candidate/baseline/swap assignment resets the eval
+        actor's in-flight games so records are scored under the exact
+        assignment they were played with."""
+        from elf_tpu.selfplay.records import ClientCtrl, ModelPair
+
+        opts = ControlOptions()
+        acfg = ActorConfig(board_size=5, batch=2)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2)
+        actor = SelfplayActor(acfg, mcfg, lambda p, b: None)
+        eval_actor = SelfplayActor(acfg, mcfg, lambda p, b: None)
+        client = SelfplayClient(
+            opts, actor, load_params_fn=lambda ver: (None, None),
+            port=1, eval_actor=eval_actor,
+        )
+        resets = []
+        eval_actor.reset_all = lambda: resets.append(1)
+        eval_actor.play_moves = lambda *a, **k: []
+
+        def req(swap, black=1, white=0):
+            r = MsgRequest(vers=ModelPair(black_ver=black, white_ver=white),
+                           client_ctrl=ClientCtrl(player_swap=swap))
+            return r
+
+        client.request = req(False)
+        client._play_eval_round(4)
+        assert len(resets) == 1          # fresh job: restart once
+        client._play_eval_round(4)
+        assert len(resets) == 1          # same job: games keep running
+        client.request = req(True)
+        client._play_eval_round(4)
+        assert len(resets) == 2          # swap flipped: restart
+        client.request = req(True, black=2)
+        client._play_eval_round(4)
+        assert len(resets) == 3          # new candidate: restart
 
     def test_ts_options_from_search_options(self):
         """The production server builds its wire TSOptions from the same

@@ -160,6 +160,160 @@ def test_server_and_two_client_processes(tmp_path):
             cl.close()
 
 
+@pytest.mark.timeout(900)
+def test_distributed_learner_fed_by_control_plane(tmp_path):
+    """VERDICT r3 #7a: the 2-OS-process jax.distributed learner consumes
+    REAL records from a live control server + selfplay client process
+    instead of synthetic batches.  Worker 0 hosts the TrainServer (TCP) +
+    replay; a real scripts/selfplay_client.py ships records; each train
+    step worker 0 broadcasts the sampled host batch, every worker
+    extracts features for its dp-local slice, and the GSPMD step runs on
+    the global mesh.  Both workers must agree on every loss."""
+    port = free_port()
+    coord_port = free_port()
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    script = tmp_path / "worker.py"
+    script.write_text(
+        f"""
+import os, sys, time
+sys.path.insert(0, {REPO!r})
+os.environ["XLA_FLAGS"] = os.environ.get("XLA_FLAGS", "") + \
+    " --xla_force_host_platform_device_count=2"
+pid = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+from elf_tpu.parallel.distributed import maybe_initialize_distributed
+assert maybe_initialize_distributed(
+    coordinator="127.0.0.1:{coord_port}", num_processes=2, process_id=pid)
+import numpy as np
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental import multihost_utils
+
+from elf_tpu.config import (ControlOptions, ReplayOptions, TrainOptions)
+from elf_tpu.models.resnet import ModelConfig
+from elf_tpu.training.trainer import Trainer, save_checkpoint
+from elf_tpu.training.replay import ReplayBuffer
+from elf_tpu.training.pipeline import TrainingPipeline, HostBatch
+from elf_tpu.parallel.mesh import make_mesh, make_sharded_train_step, shard_state
+
+BS = 8
+cfg = ModelConfig(board_size=5, num_planes=18, num_block=1, dim=8,
+                  use_bf16=False)
+opts = TrainOptions(batchsize=BS, num_block=1, dim=8)
+trainer = Trainer(cfg, opts)
+state = trainer.init_state(jax.random.PRNGKey(0))
+mesh = make_mesh(4, tp=1)
+step, shardings = make_sharded_train_step(trainer, mesh, state)
+state = shard_state(state, shardings)
+
+replay = ReplayBuffer(ReplayOptions(num_reader=2, q_min_size=1,
+                                    q_max_size=64), seed=0)
+pipeline = TrainingPipeline(replay, 5, seed=0, num_future_actions=1)
+
+server = None
+if pid == 0:
+    save_checkpoint({ckpt!r}, state)
+    from elf_tpu.control.server import TrainServer
+    server = TrainServer(
+        ControlOptions(expected_num_clients=1, eval_num_games=0),
+        ReplayOptions(num_reader=2, q_min_size=1, q_max_size=64),
+        port={port}, record_sink=pipeline.insert_record,
+    )
+    server.replay = replay
+    server.set_initial_version(0)
+    server.start()
+    print("SERVER_UP", flush=True)
+
+# wait (collectively) until worker 0's replay holds real games
+for _ in range(600):
+    flag = np.array([1 if (pid == 0 and replay.size() >= 6
+                           and replay.ready()) else 0], np.int32)
+    if int(multihost_utils.broadcast_one_to_all(flag)[0]):
+        break
+    time.sleep(1.0)
+else:
+    raise SystemExit("replay never filled")
+print("REPLAY_READY", replay.size() if pid == 0 else -1, flush=True)
+
+def zeros_hb():
+    n2, A = 25, 26
+    return (np.zeros((BS, 8, n2), np.int8), np.zeros((BS, 8), bool),
+            np.zeros((BS,), np.int8), np.zeros((BS,), np.int32),
+            np.zeros((BS, A), np.float32), np.zeros((BS,), np.float32),
+            np.zeros((BS,), np.int64), np.zeros((BS, 1), np.int32))
+
+losses = []
+for it in range(3):
+    if pid == 0:
+        hb = pipeline.sample_host_batch(BS)
+        blob = (hb.snaps, hb.valid, hb.to_play, hb.codes, hb.pi_target,
+                hb.winner, hb.selfplay_ver, hb.offline_a)
+    else:
+        blob = zeros_hb()
+    blob = multihost_utils.broadcast_one_to_all(blob)
+    hb = HostBatch(*[np.asarray(a) for a in blob])
+    lo, hi = pid * (BS // 2), (pid + 1) * (BS // 2)
+    local = HostBatch(*[np.asarray(a)[lo:hi] for a in blob])
+    feats, target, winner = pipeline.device_batch(local)
+    gb = lambda x: multihost_utils.host_local_array_to_global_array(
+        np.asarray(x), mesh, P("dp"))
+    state, stats = step(state, gb(feats), gb(target), gb(winner))
+    loss = float(multihost_utils.process_allgather(
+        stats["loss/total"], tiled=True))
+    losses.append(round(loss, 6))
+print("WORKER_OK", pid, ",".join(str(l) for l in losses), flush=True)
+if server is not None:
+    server.stop()
+"""
+    )
+    workers = [
+        subprocess.Popen(
+            [PY, str(script), str(i)], cwd=REPO, env=_env(),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    client = None
+    client_log = open(str(tmp_path / "client.log"), "w")
+    outs = []
+    try:
+        client = subprocess.Popen(
+            [PY, os.path.join(REPO, "scripts/selfplay_client.py"),
+             "--ckpt_dir", ckpt, "--num_games", "4",
+             "--board_size", "5", "--num_block", "1", "--dim", "8",
+             "--komi", "2.5", "--port", str(port),
+             "--num_rollouts", "2", "--rollouts_per_batch", "2",
+             "--moves_per_round", "8", "--seed", "5"],
+            cwd=REPO, env=_env(), stdout=client_log,
+            stderr=subprocess.STDOUT, text=True,
+        )
+        for p in workers:
+            out, _ = p.communicate(timeout=720)
+            outs.append(out)
+            assert p.returncode == 0, out[-4000:]
+    finally:
+        if client is not None and client.poll() is None:
+            client.kill()
+            client.wait()
+        client_log.close()
+        for p in workers:
+            if p.poll() is None:
+                p.kill()
+                p.wait()
+    per_worker = []
+    for out in outs:
+        m = re.search(r"WORKER_OK \d+ ([\d.,eE+-]+)", out)
+        assert m, out[-2000:]
+        per_worker.append(m.group(1))
+    # every step's loss agrees across the two processes
+    assert per_worker[0] == per_worker[1]
+    # the batches came from real client records, not synthetic data
+    m = re.search(r"REPLAY_READY (\d+)", outs[0])
+    assert m and int(m.group(1)) >= 6, outs[0][-2000:]
+
+
 @pytest.mark.timeout(600)
 def test_two_process_jax_distributed_learner(tmp_path):
     """Two OS processes form one jax.distributed CPU mesh and take a
