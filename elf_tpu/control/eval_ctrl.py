@@ -215,8 +215,14 @@ class EvalSubCtrl:
     def set_baseline(self, ver: int) -> None:
         with self.lock:
             self.baseline = ver
-            # retire evaluations against older baselines
+            # retire candidates at/below the new baseline; surviving ones
+            # are re-keyed against it (their old-baseline ModelPerf would
+            # be unreachable and they would sit in the queue forever)
             self.pending = [c for c in self.pending if c > ver]
+            for c in self.pending:
+                self.perfs.setdefault(
+                    (c, ver), ModelPerf(c, ver, self.opts)
+                )
 
     def add_new_model_for_evaluation(self, candidate: int) -> None:
         with self.lock:

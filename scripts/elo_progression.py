@@ -43,6 +43,12 @@ def main(argv=None):
     ap.add_argument("--max_pairs", type=int, default=0, help="0 = all")
     ap.add_argument("--include_init", type=str, default="",
                     help="path to a random-init checkpoint as Elo 0 anchor")
+    ap.add_argument("--pairs", type=str, default="",
+                    help="explicit matches 'a:b,c:d' by step number "
+                         "(0 = the --include_init anchor) instead of the "
+                         "successive-checkpoint ladder — for direct "
+                         "anchor matches and transitivity checks at "
+                         "higher rollout budgets")
     ap.add_argument("--model", type=str, default="df_kl")
     ap.add_argument("--use_df_feature", type=int, default=0)
     ap.add_argument("--seed", type=int, default=17)
@@ -103,6 +109,25 @@ def main(argv=None):
         if path not in states:
             states[path] = load_checkpoint(path, template=template)
         return states[path]
+
+    if args.pairs:
+        by_step = dict(zip(steps, paths))
+        for spec in args.pairs.split(","):
+            hi, lo = (int(x) for x in spec.split(":"))
+            a, b = load(by_step[hi]), load(by_step[lo])
+            wins, total = head_to_head(
+                actor, (a.params, a.batch_stats), (b.params, b.batch_stats),
+                max(args.games_per_pair // 2, 1),
+            )
+            wr = wins / max(total, 1)
+            print(json.dumps({
+                "step": hi, "vs_step": lo, "direct": True,
+                "rollouts": args.num_rollouts,
+                "wins": wins, "n": total, "winrate": round(wr, 4),
+                "elo_delta": round(elo_diff(wr), 1),
+            }), flush=True)
+            states.clear()
+        return 0
 
     elo = 0.0
     print(json.dumps({"step": steps[0], "elo": 0.0, "anchor": True}),

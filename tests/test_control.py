@@ -187,6 +187,22 @@ class TestWireProtocol:
         assert ev2.fill_in_request("b", r2)
         assert r1.client_ctrl.player_swap != r2.client_ctrl.player_swap
 
+    def test_pending_candidates_rekeyed_after_promotion(self):
+        """Candidates still queued when the baseline moves must be
+        evaluated against the NEW baseline, not orphaned with an
+        unreachable old-baseline ModelPerf."""
+        opts = ControlOptions(eval_num_games=4, eval_winrate_thres=0.55)
+        ev = EvalSubCtrl(opts)
+        ev.set_baseline(0)
+        ev.add_new_model_for_evaluation(1)
+        ev.add_new_model_for_evaluation(2)  # queued behind 1
+        # promote 1 -> baseline 1; candidate 2 must stay evaluable
+        ev.set_baseline(1)
+        req = MsgRequest()
+        assert ev.fill_in_request("c0", req)
+        assert req.vers.black_ver == 2
+        assert req.vers.white_ver == 1
+
     def test_eval_job_change_restarts_client_games(self):
         """Client-side eval restart matrix (game_selfplay.cc:164-184): a
         changed candidate/baseline/swap assignment resets the eval

@@ -46,16 +46,19 @@ def _env(extra=None):
 
 
 @pytest.mark.timeout(900)
-def test_server_and_two_client_processes(tmp_path):
+def test_server_and_client_process_cheat_smoke(tmp_path):
     ckpt = str(tmp_path / "ckpt")
     os.makedirs(ckpt, exist_ok=True)
     port = free_port()
 
     # all subprocess output goes to FILES: pollable while running,
-    # dumpable on failure (a timed-out PIPE loses everything)
+    # dumpable on failure (a timed-out PIPE loses everything).
+    # NOTE: deliberately slim (1 client, 1 episode) — this test's job is
+    # the cheat-flag CLI plumbing + --num_episodes exit path of the entry
+    # scripts; the heavyweight multi-client/no-cheat integration lives in
+    # tests/test_production_loop.py.
     logs = {"server": str(tmp_path / "server.log"),
-            "client0": str(tmp_path / "client0.log"),
-            "client1": str(tmp_path / "client1.log")}
+            "client0": str(tmp_path / "client0.log")}
 
     def dump_logs() -> str:
         parts = []
@@ -75,8 +78,8 @@ def test_server_and_two_client_processes(tmp_path):
     server = subprocess.Popen(
         [PY, os.path.join(REPO, "scripts/train_server.py"),
          "--ckpt_dir", ckpt, "--batchsize", "4", "--num_minibatch", "2",
-         "--num_episodes", "2", "--use_mesh", "0",
-         "--expected_num_clients", "2", "--selfplay_init_num", "2",
+         "--num_episodes", "1", "--use_mesh", "0",
+         "--expected_num_clients", "1", "--selfplay_init_num", "2",
          "--selfplay_update_num", "1", "--eval_num_games", "2",
          "--q_min_size", "1", "--q_max_size", "16", "--num_reader", "2",
          "--num_cooldown", "1",
@@ -105,7 +108,7 @@ def test_server_and_two_client_processes(tmp_path):
         else:
             pytest.fail(f"server never became ready:\n{dump_logs()}")
 
-        for k in range(2):
+        for k in range(1):
             cl = open(logs[f"client{k}"], "w")
             client_logs.append(cl)
             clients.append(subprocess.Popen(
@@ -136,8 +139,8 @@ def test_server_and_two_client_processes(tmp_path):
         saves = [f for f in os.listdir(ckpt)
                  if re.match(r"save-\d+\.bin$", f)]
         vers = sorted(int(re.match(r"save-(\d+)", f).group(1)) for f in saves)
-        assert vers[0] == 0 and vers[-1] >= 2, saves
-        assert "episode 2" in out
+        assert vers[0] == 0 and vers[-1] >= 1, saves
+        assert "episode 1" in out
         # records were journaled from real client processes
         jdir = os.path.join(ckpt, "journal")
         journal_lines = 0

@@ -5,7 +5,7 @@ promotion (candidate beats baseline >= eval_winrate_thres over
 color-swapped eval games; game_ctrl.h:202-232 updateModel).
 
 This is the no-cheat counterpart of
-tests/test_multiprocess.py::test_server_and_two_client_processes (which
+tests/test_multiprocess.py::test_server_and_client_process_cheat_smoke (which
 exercises the same plumbing with the reference's cheat-mode integration
 strategy, SURVEY.md §4).  Full-scale evidence: scripts/prove_production.py
 on 9x9/TPU (see README + docs/).
