@@ -115,15 +115,33 @@ def main(argv=None):
         for spec in args.pairs.split(","):
             hi, lo = (int(x) for x in spec.split(":"))
             a, b = load(by_step[hi]), load(by_step[lo])
+            sink = []
             wins, total = head_to_head(
                 actor, (a.params, a.batch_stats), (b.params, b.batch_stats),
-                max(args.games_per_pair // 2, 1),
+                max(args.games_per_pair // 2, 1), record_sink=sink,
             )
             wr = wins / max(total, 1)
+            # per-color breakdown: on small boards at high rollout
+            # budgets outcomes can become komi/color-determined — a
+            # 0.500 aggregate with 0%-as-black/100%-as-white says
+            # "search saturated", not "equal strength"
+            # A won as black iff its win carries reward>0 (noswap half);
+            # as white iff reward<0 (swap half) — exact with .5 komi
+            as_black = sum(
+                1 for (r, a_won) in sink if a_won and r.result.reward > 0
+            )
+            as_white = sum(
+                1 for (r, a_won) in sink if a_won and r.result.reward < 0
+            )
+            black_wins_total = sum(
+                1 for (r, _) in sink if r.result.reward > 0
+            )
             print(json.dumps({
                 "step": hi, "vs_step": lo, "direct": True,
                 "rollouts": args.num_rollouts,
                 "wins": wins, "n": total, "winrate": round(wr, 4),
+                "wins_as_black": as_black, "wins_as_white": as_white,
+                "black_wins_total": black_wins_total,
                 "elo_delta": round(elo_diff(wr), 1),
             }), flush=True)
             states.clear()
