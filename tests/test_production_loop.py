@@ -31,11 +31,11 @@ def test_production_control_plane_promotes(tmp_path):
     rc = prod_main([
         "--out", out, "--platform", "cpu",
         "--board_size", "5", "--num_block", "1", "--dim", "16",
-        "--num_games", "32", "--komi", "2.5",
+        "--num_games", "24", "--komi", "2.5",
         "--rollouts", "16", "--rollouts_per_batch", "8",
-        "--eval_rollouts", "0", "--eval_num_games", "20",
-        "--selfplay_init_num", "80", "--selfplay_update_num", "40",
-        "--num_minibatch", "25", "--train_bs", "64",
+        "--eval_rollouts", "0", "--eval_num_games", "16",
+        "--selfplay_init_num", "64", "--selfplay_update_num", "32",
+        "--num_minibatch", "24", "--train_bs", "64",
         "--target_promotions", "1", "--final_games", "0",
         "--max_seconds", "1200",
     ])
@@ -50,7 +50,7 @@ def test_production_control_plane_promotes(tmp_path):
     ev = promos[0]["eval"]
     assert ev["baseline"] == 0
     assert ev["winrate"] >= 0.55
-    assert ev["n_done"] + ev["n_stuck"] >= 20
+    assert ev["n_done"] + ev["n_stuck"] >= 16
 
     # records really flowed over TCP: the server journaled them
     jdir = os.path.join(out, "ckpt", "journal")
@@ -60,4 +60,4 @@ def test_production_control_plane_promotes(tmp_path):
         for line in open(os.path.join(jdir, fn))
         if line.strip()
     )
-    assert journal_lines >= 80  # at least the selfplay_init_num bar
+    assert journal_lines >= 64  # at least the selfplay_init_num bar
