@@ -41,8 +41,11 @@ def test_production_control_plane_promotes(tmp_path):
     ])
     assert rc == 0, "no real promotion within budget"
 
-    # the promotion is real: decided by an eval winrate over >= the
-    # requested games, against the version-0 random-init baseline
+    # the promotion is real: against the version-0 random-init baseline,
+    # and decided soundly — either the full 16 requested games ran, or
+    # EvalSubCtrl's win-rate-bound early stop fired, in which case the
+    # WORST-CASE rate (every undone game counted as a loss) must itself
+    # clear the threshold (check_winrate_bound's `lower`, ctrl_eval.h:240)
     promo_path = os.path.join(out, "ckpt", "promotions.jsonl")
     with open(promo_path) as f:
         promos = [json.loads(l) for l in f if l.strip()]
@@ -50,7 +53,9 @@ def test_production_control_plane_promotes(tmp_path):
     ev = promos[0]["eval"]
     assert ev["baseline"] == 0
     assert ev["winrate"] >= 0.55
-    assert ev["n_done"] + ev["n_stuck"] >= 16
+    n_win = round(ev["winrate"] * ev["n_done"])
+    lower = n_win / max(1, 16 - ev["n_stuck"])
+    assert ev["n_done"] + ev["n_stuck"] >= 16 or lower >= 0.55, ev
 
     # records really flowed over TCP: the server journaled them
     jdir = os.path.join(out, "ckpt", "journal")
