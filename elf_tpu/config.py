@@ -227,6 +227,8 @@ class TrainOptions:
     num_block: int = opt(20, "ResNet blocks")
     dim: int = opt(256, "ResNet channels")
     num_cooldown: int = opt(50, "BN re-estimation passes before checkpointing")
+    value_loss_weight: float = opt(1.0, "scale on the value MSE term "
+                                        "(1.0 = reference parity)")
     use_data_parallel: bool = opt(True, "shard batch over the device mesh")
     grad_clip_norm: float = opt(0.0, "0 = no clipping")
     bf16: bool = opt(True, "bfloat16 compute policy")

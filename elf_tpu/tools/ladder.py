@@ -121,6 +121,63 @@ def run_ladder_suite(
     )
 
 
+def ladder_policy_scorecard(
+    eval_fn,
+    suite_dir: str = DEFAULT_SUITE,
+    limit: Optional[int] = None,
+) -> LadderResult:
+    """Raw-policy scorecard over the whole suite in ONE lockstep batch.
+
+    Same probe protocol as `run_ladder_suite` (replay to move n, compare
+    the model's move with the game's move n) but vectorized: every probe
+    prefix is replayed in one `batch_replay` call and the model is asked
+    once on the stacked [B] positions — cheap enough to run inside a
+    training loop's eval cadence.  `eval_fn(features, to_play)` must
+    return `(log_pi, value)` (the SelfplayActor builder contract);
+    the move compared is the legal-masked policy argmax (no search).
+    """
+    from elf_tpu.env.go import features as gofeat
+    from elf_tpu.env.go.coords import flat_to_gtp
+
+    entries = load_suite(suite_dir)
+    if limit:
+        entries = entries[:limit]
+    probes = []  # (sgf_path, n, prefix_moves, expected, size)
+    for sgf_path, n in entries:
+        moves, size = load_moves(sgf_path)
+        if n >= len(moves):
+            continue
+        probes.append((sgf_path, n, moves[:n], moves[n], size))
+    if not probes:
+        return LadderResult(total=0, matched=0, failures=[])
+    size = probes[0][4]
+    assert all(p[4] == size for p in probes), "mixed board sizes in suite"
+
+    _, state = batch_replay([p[2] for p in probes], size)
+    B = len(probes)
+    feats = gofeat.extract_agz(
+        state, jax.numpy.zeros((B,), jax.numpy.int32), size
+    )
+    log_pi, _ = eval_fn(feats, state.core.to_play)
+    lm = legal_moves(state, size)
+    got = np.asarray(
+        jax.numpy.argmax(jax.numpy.where(lm, log_pi, -1e9), axis=1)
+    )
+    matched = 0
+    failures = []
+    for i, (sgf_path, n, _, expected, _) in enumerate(probes):
+        if int(got[i]) == expected:
+            matched += 1
+        else:
+            failures.append(
+                (os.path.basename(sgf_path), n,
+                 flat_to_gtp(expected, size), flat_to_gtp(int(got[i]), size))
+            )
+    return LadderResult(
+        total=matched + len(failures), matched=matched, failures=failures
+    )
+
+
 @dataclass
 class SuiteClassification:
     """Model-free structural read of one suite probe."""

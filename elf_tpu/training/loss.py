@@ -21,11 +21,17 @@ def mcts_prediction_loss(
     value: jax.Array,        # [B]
     mcts_scores: jax.Array,  # [B, A] normalized visit distribution
     winner: jax.Array,       # [B] in {-1, +1} (black perspective)
+    value_weight: float = 1.0,
 ) -> Tuple[jax.Array, Dict[str, jax.Array]]:
+    """value_weight scales the MSE term (reference parity = 1.0,
+    mcts_prediction.py:33-88).  Small-replay runs overfit the value head
+    long before the policy converges (every position of a game shares one
+    winner label, so the effective value sample size is games, not
+    positions); down-weighting it is the standard stabilizer."""
     policy_loss = -(mcts_scores * log_pi).sum(axis=1).mean()
     value_loss = jnp.mean((value - winner) ** 2)
     entropy = -(jnp.exp(log_pi) * log_pi).sum(axis=1).mean()
-    total = policy_loss + value_loss
+    total = policy_loss + value_weight * value_loss
     stats = {
         "loss/policy": policy_loss,
         "loss/value": value_loss,

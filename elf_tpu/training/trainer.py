@@ -76,6 +76,7 @@ class Trainer:
 
     def make_train_step(self):
         model, tx = self.model, self.tx
+        value_weight = self.opts.value_loss_weight
 
         def train_step(
             state: TrainState, features, mcts_scores, winner
@@ -88,7 +89,8 @@ class Trainer:
                     mutable=["batch_stats"],
                 )
                 loss, stats = mcts_prediction_loss(
-                    log_pi, value, mcts_scores, winner
+                    log_pi, value, mcts_scores, winner,
+                    value_weight=value_weight,
                 )
                 return loss, (stats, mut["batch_stats"])
 
@@ -226,11 +228,41 @@ def save_checkpoint(
     return path
 
 
+def save_params_checkpoint(
+    path: str, state: TrainState, dtype=jnp.bfloat16
+) -> str:
+    """Durable params-only export: params (+batch_stats) downcast to
+    `dtype` and the step counter, WITHOUT optimizer state — ~48 MB at
+    20b256c vs ~190 MB for a full TrainState.  `load_checkpoint` restores
+    it onto a template (optimizer momentum restarts fresh), so a run whose
+    full save-<step>.bin files were pruned can still resume from the
+    committed export."""
+    cast = lambda t: jax.tree.map(
+        lambda a: np.asarray(jax.device_get(a)).astype(dtype)
+        if np.issubdtype(np.asarray(jax.device_get(a)).dtype, np.floating)
+        else np.asarray(jax.device_get(a)),
+        t,
+    )
+    payload = {
+        "params": flax.serialization.to_state_dict(cast(state.params)),
+        "batch_stats": flax.serialization.to_state_dict(
+            cast(state.batch_stats)
+        ),
+        "step": int(state.step),
+    }
+    with open(path + ".tmp", "wb") as f:
+        f.write(flax.serialization.msgpack_serialize(payload))
+    os.replace(path + ".tmp", path)
+    return path
+
+
 def load_checkpoint(
     path: str, template: Optional[TrainState] = None
 ) -> TrainState:
     """Load a checkpoint; with a `template`, arrays are restored onto its
-    pytree structure (shape-checked)."""
+    pytree structure (shape-checked).  Accepts both full TrainState
+    checkpoints and params-only exports (save_params_checkpoint) — the
+    latter restore with the template's fresh optimizer state."""
     if os.path.isdir(path):
         path = os.path.join(path, "latest")
     path = os.path.realpath(path)
@@ -243,7 +275,7 @@ def load_checkpoint(
         return TrainState(
             params=payload["params"],
             batch_stats=payload["batch_stats"],
-            opt_state=payload["opt_state"],
+            opt_state=payload.get("opt_state"),
             step=jnp.asarray(payload["step"], jnp.int32),
         )
 
@@ -252,19 +284,29 @@ def load_checkpoint(
             raise ValueError(
                 f"checkpoint shape mismatch {a.shape} vs {np.shape(b)}"
             )
+        # restore at the template's dtype (fp32 master weights even when
+        # loading a bf16 params-only export)
+        if hasattr(a, "dtype"):
+            return jnp.asarray(b, a.dtype)
         return jnp.asarray(b)
 
     params = flax.serialization.from_state_dict(template.params, payload["params"])
     batch_stats = flax.serialization.from_state_dict(
         template.batch_stats, payload["batch_stats"]
     )
-    opt_state = flax.serialization.from_state_dict(
-        template.opt_state, payload["opt_state"]
-    )
+    if "opt_state" in payload:
+        opt_state = flax.serialization.from_state_dict(
+            template.opt_state, payload["opt_state"]
+        )
+        opt_state = jax.tree.map(
+            lambda a, b: jnp.asarray(b), template.opt_state, opt_state
+        )
+    else:
+        opt_state = template.opt_state  # params-only export: fresh optimizer
     return TrainState(
         params=jax.tree.map(check, template.params, params),
         batch_stats=jax.tree.map(check, template.batch_stats, batch_stats),
-        opt_state=jax.tree.map(lambda a, b: jnp.asarray(b), template.opt_state, opt_state),
+        opt_state=opt_state,
         step=jnp.asarray(payload["step"], jnp.int32),
     )
 

@@ -61,6 +61,7 @@ from elf_tpu.training.trainer import (
     Trainer,
     load_checkpoint,
     save_checkpoint,
+    save_params_checkpoint,
 )
 
 
@@ -78,6 +79,9 @@ def parse_args(argv=None):
     ap.add_argument("--root_alpha", type=float, default=0.2)
     ap.add_argument("--train_bs", type=int, default=512)
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--value_weight", type=float, default=1.0,
+                    help="scale on the value MSE loss term (0.25 tames "
+                         "the small-replay value-overfit dip)")
     ap.add_argument("--sample_ratio", type=float, default=1.5,
                     help="avg times each generated position is trained on")
     ap.add_argument("--policy_distri_cutoff", type=int, default=-1,
@@ -98,6 +102,25 @@ def parse_args(argv=None):
                     help="CUMULATIVE wall-clock budget across resumes "
                          "(progress.json restores elapsed time)")
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--keep", type=int, default=10,
+                    help="keep-last-k full checkpoints in --out")
+    ap.add_argument("--anchor_every", type=int, default=0,
+                    help="every N periodic evals, also play the current "
+                         "net vs a rolling ANCHOR checkpoint (then advance "
+                         "the anchor) — trained-vs-trained progress signal "
+                         "that stays informative inside the vs-init value "
+                         "dip; 0 = off")
+    ap.add_argument("--ladder_every", type=int, default=0,
+                    help="every N periodic evals, run the batched "
+                         "ladder-suite raw-policy scorecard "
+                         "(elf_tpu.tools.ladder.ladder_policy_scorecard) "
+                         "as a behavioral curve; 0 = off")
+    ap.add_argument("--export", type=int, default=0,
+                    help="1 = maintain durable bf16 params-only exports in "
+                         "--out (init_params.bin / export-latest.bin / "
+                         "export-best.bin, ~48 MB each at 20b256c) small "
+                         "enough to commit, so the run survives /tmp-less "
+                         "machines and later rounds can resume or re-eval")
     return ap.parse_args(argv)
 
 
@@ -124,7 +147,8 @@ def main(argv=None):
     cfg = ModelConfig(board_size=size, num_planes=18, num_block=args.blocks,
                       dim=args.dim, use_bf16=True)
     to = TrainOptions(batchsize=args.train_bs, num_block=args.blocks,
-                      dim=args.dim, lr=args.lr, num_cooldown=8)
+                      dim=args.dim, lr=args.lr, num_cooldown=8,
+                      value_loss_weight=args.value_weight)
     trainer = Trainer(cfg, to)
     eval_raw = trainer.make_eval_fn()
 
@@ -145,15 +169,27 @@ def main(argv=None):
         ),
         args.out, to, seed=args.seed,
     )
+    runner.ckpt_keep = args.keep
     replay = runner.pipeline.replay
 
-    progress = {"games": 0, "positions": 0, "train_steps": 0, "wall": 0.0}
-    if os.path.exists(init_path):
+    progress = {"games": 0, "positions": 0, "train_steps": 0, "wall": 0.0,
+                "eval_idx": 0, "best_winrate": -1.0}
+    init_export = os.path.join(args.out, "init_params.bin")
+    latest_export = os.path.join(args.out, "export-latest.bin")
+    if os.path.exists(init_path) or os.path.exists(init_export):
         template = runner.state
-        state0 = load_checkpoint(init_path, template=template)
+        # full init.bin if present; otherwise the committed bf16 export
+        # (cross-round resume: full checkpoints live outside git and do
+        # not survive a fresh machine, the exports do)
+        state0 = load_checkpoint(
+            init_path if os.path.exists(init_path) else init_export,
+            template=template,
+        )
         latest = os.path.join(args.out, "latest")
         if os.path.exists(latest):
             runner.state = load_checkpoint(latest, template=template)
+        elif os.path.exists(latest_export):
+            runner.state = load_checkpoint(latest_export, template=template)
         if os.path.exists(state_path):
             with open(state_path) as f:
                 progress.update(json.load(f))
@@ -171,6 +207,12 @@ def main(argv=None):
         if os.path.lexists(latest):
             os.remove(latest)
         os.symlink("init.bin", latest)
+    if args.export and not os.path.exists(
+        os.path.join(args.out, "init_params.bin")
+    ):
+        save_params_checkpoint(
+            os.path.join(args.out, "init_params.bin"), state0
+        )
 
     acfg = ActorConfig(
         board_size=size, batch=args.batch_boards, komi=args.komi,
@@ -204,15 +246,50 @@ def main(argv=None):
         # the train step donates its input state: evals must run on a copy
         return jax.tree.map(jax.numpy.copy, runner.state)
 
-    def run_eval(n_games, actor_override=None):
+    def run_eval(n_games, opponent=None, actor_override=None):
         cur = snapshot_state()
+        opp = opponent if opponent is not None else state0
         a = actor_override or eval_actor
         wins, total = head_to_head(
             a, (cur.params, cur.batch_stats),
-            (state0.params, state0.batch_stats),
+            (opp.params, opp.batch_stats),
             max(n_games // 2, 1),
         )
         return wins, total
+
+    # rolling trained-vs-trained anchor (VERDICT weak #3: vs-init evals
+    # lose resolution inside the value dip; current-vs-anchor stays
+    # informative because both sides are trained)
+    anchor_path = os.path.join(args.out, "anchor.bin")
+    anchor_state = None
+    if args.anchor_every > 0 and os.path.exists(anchor_path):
+        anchor_state = load_checkpoint(anchor_path, template=runner.state)
+
+    # ladder-suite behavioral curve (19x19 suite only)
+    ladder_on = args.ladder_every > 0 and size == 19
+    scorecard_path = os.path.join(args.out, "ladder_scorecard.jsonl")
+    if ladder_on:
+        from elf_tpu.tools.ladder import ladder_policy_scorecard
+
+        ladder_fwd = jax.jit(eval_raw)
+
+        def ladder_score(st):
+            res = ladder_policy_scorecard(
+                lambda feats, to_play: ladder_fwd(
+                    st.params, st.batch_stats, feats
+                )
+            )
+            return res.matched, res.total
+
+        if not os.path.exists(scorecard_path):
+            m0, t0_ = ladder_score(state0)
+            with open(scorecard_path, "a") as f:
+                f.write(json.dumps({
+                    "step": 0, "games": 0, "matched": m0, "total": t0_,
+                    "accuracy": round(m0 / max(t0_, 1), 4),
+                    "weights": "init",
+                }) + "\n")
+            print(f"# ladder baseline (init): {m0}/{t0_}", flush=True)
 
     wr = WinRate()
     t0 = time.time() - progress["wall"]
@@ -266,6 +343,7 @@ def main(argv=None):
         if progress["games"] >= next_eval:
             runner.episode_summary()
             wins, total = run_eval(args.eval_games)
+            progress["eval_idx"] += 1
             point = {
                 "games": progress["games"],
                 "positions": progress["positions"],
@@ -278,6 +356,37 @@ def main(argv=None):
                 **{k: round(v, 4) for k, v in last_stats.items()
                    if k.startswith("loss") or k == "entropy"},
             }
+            if (args.anchor_every > 0
+                    and progress["eval_idx"] % args.anchor_every == 0):
+                if anchor_state is not None:
+                    aw, an = run_eval(args.eval_games, opponent=anchor_state)
+                    point.update({
+                        "anchor_step": int(anchor_state.step),
+                        "anchor_wins": aw, "anchor_n": an,
+                        "anchor_winrate": round(aw / max(an, 1), 4),
+                    })
+                # advance the anchor to the current net
+                anchor_state = snapshot_state()
+                save_params_checkpoint(anchor_path, anchor_state)
+            if ladder_on and progress["eval_idx"] % args.ladder_every == 0:
+                lm_, lt_ = ladder_score(snapshot_state())
+                point.update({"ladder_matched": lm_, "ladder_total": lt_})
+                with open(scorecard_path, "a") as f:
+                    f.write(json.dumps({
+                        "step": int(runner.state.step),
+                        "games": progress["games"],
+                        "matched": lm_, "total": lt_,
+                        "accuracy": round(lm_ / max(lt_, 1), 4),
+                        "weights": "trained",
+                    }) + "\n")
+            if args.export:
+                cur = snapshot_state()
+                save_params_checkpoint(latest_export, cur)
+                if point["winrate"] >= progress["best_winrate"]:
+                    progress["best_winrate"] = point["winrate"]
+                    save_params_checkpoint(
+                        os.path.join(args.out, "export-best.bin"), cur
+                    )
             with open(curve_path, "a") as f:
                 f.write(json.dumps(point) + "\n")
             with open(state_path, "w") as f:
