@@ -195,8 +195,23 @@ class SelfplayClient:
             # corrupts the eval winrate
             self.eval_actor.reset_all()
             self._eval_job = job
-        cand = self._load_cached(vers.black_ver)
-        base = self._load_cached(vers.white_ver)
+        try:
+            cand = self._load_cached(vers.black_ver)
+            base = self._load_cached(vers.white_ver)
+        except (OSError, ValueError) as e:
+            # a queued candidate can outlive its checkpoint: the server's
+            # keep-k pruning may delete save-<ver>.bin while the eval is
+            # still pending (found by tests/test_multiprocess.py::
+            # test_distributed_learner_promotes — the client used to die
+            # here and starve the whole control plane).  Skip the round;
+            # the server's stuck-eval shrinkage / post-promotion re-keying
+            # retires the candidate (ctrl_eval.h:148 aliveness path).
+            self.logger.warning(
+                "eval versions (%d, %d) unavailable (%s); skipping round",
+                vers.black_ver, vers.white_ver, e,
+            )
+            time.sleep(1.0)
+            return []
         black, white = (base, cand) if swap else (cand, base)
         params = (black[0], white[0])
         batch_stats = (black[1], white[1])

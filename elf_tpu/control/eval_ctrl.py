@@ -278,6 +278,8 @@ class EvalSubCtrl:
                         "candidate": cand,
                         "baseline": self.baseline,
                         "winrate": round(perf.winrate(), 4),
+                        "n_win": (perf.noswap.win_count.n_win
+                                  + perf.swap.win_count.n_win),
                         "n_done": (perf.noswap.win_count.n_done
                                    + perf.swap.win_count.n_done),
                         "n_stuck": (perf.noswap.win_count.n_stuck

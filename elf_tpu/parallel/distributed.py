@@ -61,3 +61,44 @@ def maybe_initialize_distributed(
 def _int_env(name: str) -> Optional[int]:
     v = os.environ.get(name)
     return int(v) if v else None
+
+
+class HostSync:
+    """Rank-0-authoritative lockstep helpers for the multi-host learner.
+
+    The control state of the training server — does a sampled batch
+    exist?  keep looping?  which version was just promoted? — lives only
+    on process 0, which hosts the TCP control plane and the replay buffer
+    (the reference keeps the analogous state on the DDP rank-0 trainer,
+    df_model3.py:213-247).  Every learner process runs the SAME loop and
+    agrees on rank 0's decisions through device broadcasts.  All methods
+    are collective: every process must call them in the same order, or
+    the runtime deadlocks — exactly the NCCL contract the reference's
+    DistributedDataParallel imposes.
+    """
+
+    def __init__(self):
+        import jax
+
+        self.rank0 = jax.process_index() == 0
+        self.process_count = jax.process_count()
+
+    def flag(self, value=False) -> int:
+        """Broadcast an int decided on process 0 (others pass anything)."""
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        v = np.asarray([int(value) if self.rank0 else 0], np.int32)
+        return int(multihost_utils.broadcast_one_to_all(v)[0])
+
+    def tree(self, tree_or_template):
+        """Broadcast a pytree of host arrays from process 0; non-0
+        processes pass a same-structure/shape/dtype template (e.g.
+        TrainingPipeline.zero_host_batch)."""
+        import jax
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        return jax.tree.map(
+            np.asarray, multihost_utils.broadcast_one_to_all(tree_or_template)
+        )

@@ -84,7 +84,10 @@ from elf_tpu.env.go.features import (
     inv_transform_policy,
 )
 
-NEG_INF = jnp.float32(-1e9)
+# numpy scalar, NOT jnp: a module-level jnp constant would initialize the
+# XLA backend at import time, breaking jax.distributed.initialize in any
+# process that imports the search module first (train_server.py --dist_*)
+NEG_INF = np.float32(-1e9)
 _KO_INACTIVE = np.int16(10_000)
 
 

@@ -223,6 +223,30 @@ class TrainingPipeline:
                          stones=stones, ko_point=ko_point, ply=plies,
                          last_placed=last_placed)
 
+    def zero_host_batch(self, batch_size: int) -> HostBatch:
+        """Shape/dtype template of sample_host_batch's output.  The
+        non-source processes of the multi-host learner broadcast against
+        it (parallel/distributed.py HostSync.tree): broadcast_one_to_all
+        requires every process to present identically-shaped buffers."""
+        n2, A, H = self.n2, self.A, MAX_AGZ_HISTORY
+        T = self.num_future_actions
+        df = self.feature_set == "df"
+        return HostBatch(
+            np.zeros((batch_size, H, n2), np.int8),
+            np.zeros((batch_size, H), bool),
+            np.zeros((batch_size,), np.int8),
+            np.zeros((batch_size,), np.int32),
+            np.zeros((batch_size, A), np.float32),
+            np.zeros((batch_size,), np.float32),
+            np.zeros((batch_size,), np.int64),
+            np.full((batch_size, T), n2, np.int32),
+            stones=np.zeros((batch_size, n2), np.int8) if df else None,
+            ko_point=np.full((batch_size,), -1, np.int32) if df else None,
+            ply=np.zeros((batch_size,), np.int32) if df else None,
+            last_placed=(np.zeros((batch_size, n2), np.int32)
+                         if df else None),
+        )
+
     def device_batch(self, hb: HostBatch):
         """Returns (features [B,N,N,18|25], pi_target [B,A], winner [B]);
         the plane count follows the pipeline's feature_set."""

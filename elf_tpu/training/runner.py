@@ -61,6 +61,23 @@ class LearnerRunner:
         self.keep_prev_selfplay = True
         self.skipped_stale_batches = 0
         self.ckpt_keep = 10                # keep-last-k checkpoint cleanup
+        self.mesh = mesh
+        # multi-host learner (train_server.py --dist_*): rank 0 hosts the
+        # replay + control plane and broadcasts each sampled host batch;
+        # every process extracts features for its dp-local slice and the
+        # GSPMD step spans the global mesh (the DistributedDataParallel
+        # counterpart, df_model3.py:213-247)
+        self.sync = None
+        self.save_enabled = True
+        if mesh is not None and jax.process_count() > 1:
+            from elf_tpu.parallel.distributed import HostSync
+
+            assert dict(mesh.shape).get("tp", 1) == 1, (
+                "multi-host learner is dp-only: tp shards would leave "
+                "params non-addressable per process for checkpointing"
+            )
+            self.sync = HostSync()
+            self.save_enabled = self.sync.rank0
         self.state = trainer.init_state(jax.random.PRNGKey(seed))
         if mesh is not None:
             from elf_tpu.parallel.mesh import make_sharded_train_step, shard_state
@@ -83,11 +100,12 @@ class LearnerRunner:
             trainer.make_cooldown_step(), donate_argnums=(0,)
         )
 
-    def run_minibatch(self) -> Optional[Dict[str, float]]:
+    def _sample_checked(self, checked: bool = True):
         hb = self.pipeline.sample_host_batch(self.opts.batchsize)
         if hb is None:
             return None
-        if self.version_provider is not None and not self.keep_prev_selfplay:
+        if (checked and self.version_provider is not None
+                and not self.keep_prev_selfplay):
             cur = int(self.version_provider())
             if (hb.selfplay_ver != cur).any():
                 # stale in-flight batch after a promotion (train.py:72)
@@ -96,21 +114,84 @@ class LearnerRunner:
                     "skipping batch with selfplay_ver != %d", cur
                 )
                 return None
-        if self.train_mode == "offline":
-            feats, target, winner = self.pipeline.device_batch_offline(hb)
+        return hb
+
+    def _multihost_batch(self, checked: bool = True):
+        """Collective: rank 0 samples (and stale-checks); every process
+        gets the whole host batch, or None if rank 0 had nothing."""
+        from elf_tpu.training.pipeline import HostBatch
+
+        hb = self._sample_checked(checked) if self.sync.rank0 else None
+        if not self.sync.flag(hb is not None):
+            return None
+        if hb is None:
+            hb = self.pipeline.zero_host_batch(self.opts.batchsize)
+        return HostBatch(*self.sync.tree(tuple(hb)))
+
+    def _local_slice(self, hb):
+        """This process's dp-contiguous rows of the global batch (device
+        order is process-major, so dp rows [pid*per, (pid+1)*per) live on
+        this process's devices)."""
+        from elf_tpu.training.pipeline import HostBatch
+
+        per = self.opts.batchsize // self.sync.process_count
+        pi = jax.process_index()
+        sl = slice(pi * per, (pi + 1) * per)
+        return HostBatch(*[None if a is None else a[sl] for a in hb])
+
+    def _globalize(self, x):
+        """Assemble per-process feature shards into one global P('dp')
+        array on the mesh (jit cannot reshard non-addressable inputs)."""
+        from jax.experimental import multihost_utils
+        from jax.sharding import PartitionSpec as P
+
+        return multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), self.mesh, P("dp")
+        )
+
+    def run_minibatch(self) -> Optional[Dict[str, float]]:
+        offline = self.train_mode == "offline"
+        if self.sync is not None:
+            hb = self._multihost_batch()
+            if hb is None:
+                return None
+            local = self._local_slice(hb)
+            fn = (self.pipeline.device_batch_offline if offline
+                  else self.pipeline.device_batch)
+            feats, target, winner = (self._globalize(a) for a in fn(local))
         else:
-            feats, target, winner = self.pipeline.device_batch(hb)
+            hb = self._sample_checked()
+            if hb is None:
+                return None
+            feats, target, winner = (
+                self.pipeline.device_batch_offline(hb) if offline
+                else self.pipeline.device_batch(hb)
+            )
         self.state, stats = self._train_step(self.state, feats, target, winner)
+        if self.sync is not None:
+            # replicated global scalars -> per-process numpy (escape hatch)
+            from jax.experimental import multihost_utils
+
+            stats = multihost_utils.process_allgather(stats, tiled=True)
         return {k: float(v) for k, v in stats.items()}
 
     def run_cooldown(self) -> int:
         """BN re-estimation passes before checkpointing."""
         n = 0
         for _ in range(self.opts.num_cooldown):
-            hb = self.pipeline.sample_host_batch(self.opts.batchsize)
-            if hb is None:
-                break
-            feats, _, _ = self.pipeline.device_batch(hb)
+            if self.sync is not None:
+                hb = self._multihost_batch(checked=False)
+                if hb is None:
+                    break
+                feats, _, _ = self.pipeline.device_batch(
+                    self._local_slice(hb)
+                )
+                feats = self._globalize(feats)
+            else:
+                hb = self.pipeline.sample_host_batch(self.opts.batchsize)
+                if hb is None:
+                    break
+                feats, _, _ = self.pipeline.device_batch(hb)
             self.state = self._cooldown_step(self.state, feats)
             n += 1
         return n
@@ -129,10 +210,29 @@ class LearnerRunner:
                 agg.setdefault(k, []).append(v)
         return {k: float(np.mean(v)) for k, v in agg.items()}
 
+    @staticmethod
+    def _host_leaf(x):
+        """Local view of a replicated leaf (multi-host arrays are not
+        fully addressable; the local shard of a replicated / tp=1 leaf IS
+        the whole array)."""
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            x = x.addressable_shards[0].data
+        return np.asarray(x)
+
+    def version(self) -> int:
+        """Current model version (= train step), multi-host safe."""
+        return int(self._host_leaf(self.state.step))
+
     def episode_summary(self) -> int:
-        """Cooldown + checkpoint; returns the new model version (= step)."""
+        """Cooldown + checkpoint; returns the new model version (= step).
+        Multi-host: every process runs the (collective) cooldown, rank 0
+        writes the checkpoint."""
         self.run_cooldown()
-        path = save_checkpoint(self.ckpt_dir, self.state, keep=self.ckpt_keep)
-        ver = int(self.state.step)
-        self.logger.info("saved %s (version %d)", path, ver)
+        state = self.state
+        if self.sync is not None:
+            state = jax.tree.map(self._host_leaf, state)
+        ver = int(np.asarray(state.step))
+        if self.save_enabled:
+            path = save_checkpoint(self.ckpt_dir, state, keep=self.ckpt_keep)
+            self.logger.info("saved %s (version %d)", path, ver)
         return ver

@@ -15,9 +15,23 @@ if "host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Same-machine persistent compilation cache for the suite's subprocess
+# tests (train_server/selfplay_client spawns recompile identical graphs
+# otherwise); inherited through their environment.  Safe here because
+# compile + load happen on one host — the cross-machine SIGILL concern
+# that keeps this default-off is about remote compile services
+# (elf_tpu/cache.py).
+os.environ.setdefault("ELF_TPU_CPU_CACHE", "1")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# the in-process test session benefits too (entry-script subprocesses
+# call enable_compilation_cache themselves)
+from elf_tpu.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
 
 
 # ---------------------------------------------------------------------------

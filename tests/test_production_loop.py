@@ -45,7 +45,8 @@ def test_production_control_plane_promotes(tmp_path):
     # and decided soundly — either the full 16 requested games ran, or
     # EvalSubCtrl's win-rate-bound early stop fired, in which case the
     # WORST-CASE rate (every undone game counted as a loss) must itself
-    # clear the threshold (check_winrate_bound's `lower`, ctrl_eval.h:240)
+    # clear the threshold (fair_pick.h:61-69 CheckWinrateBound;
+    # elf_tpu/control/eval_ctrl.py:51 `lower`)
     promo_path = os.path.join(out, "ckpt", "promotions.jsonl")
     with open(promo_path) as f:
         promos = [json.loads(l) for l in f if l.strip()]
@@ -53,8 +54,7 @@ def test_production_control_plane_promotes(tmp_path):
     ev = promos[0]["eval"]
     assert ev["baseline"] == 0
     assert ev["winrate"] >= 0.55
-    n_win = round(ev["winrate"] * ev["n_done"])
-    lower = n_win / max(1, 16 - ev["n_stuck"])
+    lower = ev["n_win"] / max(1, 16 - ev["n_stuck"])
     assert ev["n_done"] + ev["n_stuck"] >= 16 or lower >= 0.55, ev
 
     # records really flowed over TCP: the server journaled them
