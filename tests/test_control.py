@@ -240,6 +240,36 @@ class TestWireProtocol:
         client._play_eval_round(4)
         assert len(resets) == 3          # new candidate: restart
 
+    def test_eval_round_with_pruned_checkpoint_skips_not_dies(self):
+        """A queued eval candidate can outlive its checkpoint (server
+        keep-k pruning).  The client must skip the round and keep
+        serving, not crash — found live by tests/test_multiprocess.py::
+        test_distributed_learner_promotes, where the dead client starved
+        the whole control plane."""
+        from elf_tpu.selfplay.records import ClientCtrl, ModelPair
+
+        opts = ControlOptions()
+        acfg = ActorConfig(board_size=5, batch=2)
+        mcfg = MCTSConfig(num_rollouts=4, rollouts_per_batch=2)
+        actor = SelfplayActor(acfg, mcfg, lambda p, b: None)
+        eval_actor = SelfplayActor(acfg, mcfg, lambda p, b: None)
+
+        def load_params(ver):
+            raise FileNotFoundError(f"save-{ver}.bin pruned")
+
+        client = SelfplayClient(
+            opts, actor, load_params_fn=load_params,
+            port=1, eval_actor=eval_actor,
+        )
+        played = []
+        eval_actor.play_moves = lambda *a, **k: played.append(1) or []
+        client.request = MsgRequest(
+            vers=ModelPair(black_ver=8, white_ver=4),
+            client_ctrl=ClientCtrl(player_swap=False),
+        )
+        assert client._play_eval_round(4) == []
+        assert not played                # round skipped, no crash
+
     def test_ts_options_from_search_options(self):
         """The production server builds its wire TSOptions from the same
         --num_rollouts/--c_puct/... flags it parses (train_server.py)."""
