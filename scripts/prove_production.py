@@ -90,6 +90,10 @@ def parse_args(argv=None):
     ap.add_argument("--eval_winrate_thres", type=float, default=0.55)
     ap.add_argument("--train_bs", type=int, default=512)
     ap.add_argument("--lr", type=float, default=0.02)
+    ap.add_argument("--value_weight", type=float, default=1.0,
+                    help="server-side value-loss weight (0.25 tames the "
+                         "small-replay value-overfit dip — the recipe "
+                         "that carried the 19x19 learning proof)")
     ap.add_argument("--num_minibatch", type=int, default=50,
                     help="train minibatches per episode/candidate")
     ap.add_argument("--selfplay_init_num", type=int, default=300)
@@ -286,6 +290,7 @@ def main(argv=None):
                 PY, os.path.join(REPO, "scripts/train_server.py"),
                 "--ckpt_dir", ckpt,
                 "--batchsize", str(args.train_bs), "--lr", str(args.lr),
+                "--value_loss_weight", str(args.value_weight),
                 "--num_minibatch", str(args.num_minibatch),
                 "--num_episodes", "0",
                 "--target_promotions", str(args.target_promotions),
