@@ -55,3 +55,31 @@ class TestLadderSuite:
         assert res.total == 3
         assert res.matched == 0  # pass is never the ladder move
         assert all(f[3] == "pass" for f in res.failures)
+
+    def test_policy_scorecard_oracle_matches_all(self):
+        """An oracle policy (one-hot at each probe's expected move) must
+        score 100% — validates the scorecard's replay/feature/legal-mask/
+        argmax coordinate path end-to-end, so a trained net's low score
+        reads as behavior, not a transform bug."""
+        import jax.numpy as jnp
+
+        from elf_tpu.tools.ladder import ladder_policy_scorecard
+
+        limit = 6
+        entries = load_suite()[:limit]
+        expected, size = [], 19
+        for sgf_path, n in entries:
+            moves, size = load_moves(sgf_path)
+            if n < len(moves):
+                expected.append(moves[n])
+
+        def oracle(feats, to_play):
+            logp = np.full((feats.shape[0], size * size + 1), -20.0,
+                           np.float32)
+            for i, mv in enumerate(expected):
+                logp[i, mv] = 0.0
+            return jnp.asarray(logp), jnp.zeros((feats.shape[0],))
+
+        res = ladder_policy_scorecard(oracle, limit=limit)
+        assert res.total == len(expected)
+        assert res.matched == res.total, res.failures
