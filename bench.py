@@ -233,12 +233,17 @@ def bench_train_step(bs=2048, blocks=20, dim=256, iters=4):
             feats = jax.random.uniform(k, (bs, 19, 19, 18))
             pi = jnp.full((bs, 362), 1.0 / 362.0)
             winner = jnp.ones((bs,))
-            state, _ = step(state, feats, pi, winner)   # compile
-            jax.block_until_ready(state.params)
+            state, stats = step(state, feats, pi, winner)   # compile
+            # fetch a real value: on some remote device tunnels
+            # block_until_ready alone does not wait for execution.  The
+            # donated-carry chain makes every iteration a data dependency
+            # of the last stats, so one end fetch forces all of them (and
+            # the differing carries defeat any tunnel value cache).
+            _ = float(jax.tree.leaves(stats)[0])
             t0 = time.perf_counter()
             for _ in range(iters):
                 state, stats = step(state, feats, pi, winner)
-            jax.block_until_ready(state.params)
+            _ = float(jax.tree.leaves(stats)[0])
             dt = time.perf_counter() - t0
             sps = iters / dt
             # fwd + bwd + remat-recompute ~ 4x forward FLOPs
