@@ -68,13 +68,22 @@ def main(argv=None):
     hist = jnp.zeros((B, MAX_AGZ_HISTORY, size * size), jnp.int8)
     hlen = jnp.zeros((B,), jnp.int32)
 
-    def timed(fn, fargs, label):
-        out = fn(*fargs)
-        jax.block_until_ready(jax.tree.leaves(out)[0])
+    def timed(fn, fargs, label, vary_rng=False):
+        """Per-iteration HOST FETCH, not block_until_ready: on remote
+        device tunnels block_until_ready can return before execution
+        completes, and a repeated call with identical args can be served
+        from a tunnel value cache — vary the rng arg where the graph
+        takes one so every iteration must really run."""
+        def call(i):
+            a = fargs[:-1] + (jax.random.PRNGKey(100 + i),) if vary_rng \
+                else fargs
+            out = fn(*a)
+            return np.asarray(jax.tree.leaves(out)[0]).ravel()[0]
+
+        call(-1)
         t0 = time.perf_counter()
         for i in range(args.iters):
-            out = fn(*fargs)
-            jax.block_until_ready(jax.tree.leaves(out)[0])
+            call(i)
         dt = (time.perf_counter() - t0) / args.iters
         return dt
 
@@ -88,13 +97,15 @@ def main(argv=None):
         return res.mcts_policy
 
     t_full = timed(full, (variables, core, hist, hlen,
-                          jax.random.PRNGKey(1)), "full")
+                          jax.random.PRNGKey(1)), "full", vary_rng=True)
 
     # ---- NN-only: the same eval sequence (root bs=B + n_batches of B*m)
     n_batches = rollouts // m
 
     @jax.jit
-    def nn_only(variables, feats_root, feats_sim):
+    def nn_only(variables, feats_root, feats_sim, rng):
+        # rng salt keeps repeated timing calls distinct for the tunnel
+        feats_root = feats_root + rng[0].astype(jnp.float32) * 1e-20
         lp, v = model.apply(variables, feats_root, train=False)
         acc = lp.sum() + v.sum()
 
@@ -111,7 +122,8 @@ def main(argv=None):
 
     froot = jnp.zeros((B, size, size, 18))
     fsim = jnp.zeros((B * m, size, size, 18))
-    t_nn = timed(nn_only, (variables, froot, fsim), "nn_only")
+    t_nn = timed(nn_only, (variables, froot, fsim, jax.random.PRNGKey(2)),
+                 "nn_only", vary_rng=True)
 
     # ---- tree-only: constant-logits eval (no net in the graph) ----------
     @jax.jit
@@ -124,7 +136,7 @@ def main(argv=None):
         return res.mcts_policy
 
     t_tree = timed(tree_only, (core, hist, hlen, jax.random.PRNGKey(2)),
-                   "tree_only")
+                   "tree_only", vary_rng=True)
 
     if args.trace_dir:
         os.makedirs(args.trace_dir, exist_ok=True)
